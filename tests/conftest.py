@@ -1,0 +1,20 @@
+"""Test configuration: run everything on a fake 8-device CPU backend.
+
+The reference has no test suite at all (``tests/readme.md`` is the only file;
+CI's pytest steps are commented out, ``.github/workflows/ci.yml:46-58``). Here
+every module is unit-tested on CPU with a forced 8-device topology so the
+multi-chip sharding paths are exercised without TPU hardware.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
