@@ -1,0 +1,1 @@
+from minddet_tpu.models.backbones.resnet import ResNet  # noqa: F401

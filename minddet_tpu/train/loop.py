@@ -1,0 +1,173 @@
+"""Unified training loop — ONE implementation for the whole zoo.
+
+The reference carries three divergent harnesses: ``Model.train`` + callbacks
+(``centernet/train.py:201-208``), a manual python step loop
+(``pointpillars/train.py:129-173``), and a loss-scale cell wrapper
+(``centerpoint/tools_ms/utils/utils.py:182-260``). Here there is a single
+jitted train step over a device mesh: the batch is sharded on the ``data``
+axis, parameters live replicated (or FSDP-sharded), and XLA derives the
+gradient all-reduce — no ``DistributedGradReducer``, no overflow cells, no
+rank tables.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Tuple
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+from minddet_tpu.core.metrics import MetricWriter, StepTimer, logger
+from minddet_tpu.core.optim import global_norm
+from minddet_tpu.parallel.mesh import get_default_mesh, shard_batch, shard_params
+
+
+@flax.struct.dataclass
+class TrainState:
+    """Minimal functional train state (params + BN stats + opt state)."""
+
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params, batch_stats, tx):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            tx=tx,
+        )
+
+    def apply_gradients(self, grads, new_batch_stats=None):
+        updates, new_opt_state = self.tx.update(grads, self.opt_state, self.params)
+        return self.replace(
+            step=self.step + 1,
+            params=optax.apply_updates(self.params, updates),
+            opt_state=new_opt_state,
+            batch_stats=(
+                new_batch_stats if new_batch_stats is not None else self.batch_stats
+            ),
+        )
+
+
+LossApply = Callable[..., Tuple[Tuple[jnp.ndarray, Dict], Dict]]
+
+
+def create_train_state(
+    model, rng: jax.Array, sample_batch: Dict[str, Any], tx, init_fn=None
+) -> TrainState:
+    """Initialize variables from a sample batch and wrap them in a TrainState.
+
+    ``init_fn(model, rng, batch)`` may override how the model is initialized
+    (defaults to calling the model on ``batch['image']``).
+    """
+    if init_fn is None:
+        variables = model.init(rng, sample_batch["image"], train=False)
+    else:
+        variables = init_fn(model, rng, sample_batch)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    return TrainState.create(params, batch_stats, tx)
+
+
+def make_train_step(
+    loss_apply: LossApply,
+    has_batch_stats: bool = True,
+    with_grad_norm: bool = True,
+    donate: bool = True,
+) -> Callable[[TrainState, Dict], Tuple[TrainState, Dict]]:
+    """Build the jitted train step.
+
+    ``loss_apply(variables, batch, train=True)`` must return
+    ``((total_loss, metrics_dict), mutated_variables)``.
+    """
+
+    def step(state: TrainState, batch: Dict) -> Tuple[TrainState, Dict]:
+        def loss_fn(params):
+            variables = {"params": params}
+            if has_batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            (total, parts), mutated = loss_apply(variables, batch, train=True)
+            return total, (parts, mutated)
+
+        (loss, (parts, mutated)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_bs = mutated.get("batch_stats") if has_batch_stats else None
+        new_state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        metrics = {"loss": loss, **parts}
+        if with_grad_norm:
+            metrics["grad_norm"] = global_norm(grads)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+class Trainer:
+    """Drives the jitted step over an iterator with metrics + checkpoints."""
+
+    def __init__(
+        self,
+        state: TrainState,
+        train_step: Callable,
+        mesh=None,
+        metric_writer: Optional[MetricWriter] = None,
+        checkpoint_manager=None,
+        log_every: int = 50,
+    ):
+        self.mesh = mesh if mesh is not None else get_default_mesh()
+        self.state = jax.device_put(
+            state, jax.tree_util.tree_map(lambda _: None, None)
+        ) if False else state
+        # place params/opt-state on the mesh (replicated or fsdp-sharded)
+        self.state = self.state.replace(
+            params=shard_params(self.mesh, self.state.params),
+            batch_stats=shard_params(self.mesh, self.state.batch_stats),
+            opt_state=jax.tree_util.tree_map(
+                lambda x: shard_params(self.mesh, x)
+                if hasattr(x, "shape")
+                else x,
+                self.state.opt_state,
+            ),
+        )
+        self.train_step = train_step
+        self.writer = metric_writer or MetricWriter()
+        self.ckpt = checkpoint_manager
+        self.log_every = log_every
+        self.timer = StepTimer()
+
+    def fit(
+        self,
+        batches: Iterable[Dict],
+        num_steps: Optional[int] = None,
+        batch_size: Optional[int] = None,
+    ) -> TrainState:
+        for i, batch in enumerate(batches):
+            if num_steps is not None and i >= num_steps:
+                break
+            batch = shard_batch(self.mesh, batch)
+            self.state, metrics = self.train_step(self.state, batch)
+            self.timer.tick()
+            step = int(self.state.step)
+            if step % self.log_every == 0 or (num_steps and i == num_steps - 1):
+                metrics = {k: float(v) for k, v in metrics.items()}
+                if batch_size:
+                    metrics["img_per_sec"] = self.timer.throughput(batch_size)
+                self.writer.write(step, metrics)
+            if self.ckpt is not None:
+                self.ckpt.save(step, flax.serialization.to_state_dict(
+                    {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats,
+                     "opt_state": self.state.opt_state,
+                     "step": self.state.step}
+                ))
+        if self.ckpt is not None:
+            self.ckpt.wait()
+        return self.state

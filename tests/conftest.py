@@ -17,4 +17,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon TPU plugin's sitecustomize force-sets jax_platforms="axon,cpu",
+# overriding the JAX_PLATFORMS env var — override it back before backend init
+# so tests always run on the fake 8-device CPU topology.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
