@@ -1,0 +1,110 @@
+"""CenterPoint (PointPillars backbone + CenterHead), nuScenes config.
+
+Rebuild of ``centerpoint/det3d_ms/models/detectors/point_pillars.py:10-135``
+composed from the shared registry components: 2-layer masked-BN PFN
+(``readers/pillar_encoder.py``) -> scatter -> SECOND RPN with fractional
+upsample strides (``necks/rpn.py``) -> multi-task CenterHead. Train targets
+come from ``ops.targets.centerpoint_targets`` on device (the reference bakes
+them offline into MindRecord, ``tools_ms/create_mindrecord.py:16-121``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from minddet_tpu.core.registry import DETECTORS
+from minddet_tpu.models.heads.center_head import CenterHead
+from minddet_tpu.models.necks.second_rpn import SECONDRPN
+from minddet_tpu.models.readers.pillar_encoder import (
+    PillarFeatureNet,
+    PointPillarsScatter,
+)
+from minddet_tpu.ops.voxelize import decorate_pillar_features
+
+
+@DETECTORS.register_module()
+class CenterPoint(nn.Module):
+    """Defaults mirror ``nusc_centerpoint_pp_02voxel_two_pfn_10sweep.py``."""
+
+    task_num_classes: Sequence[int] = (1, 2, 2, 1, 2, 2)
+    grid_ny: int = 512
+    grid_nx: int = 512
+    voxel_size: Tuple[float, float, float] = (0.2, 0.2, 8.0)
+    pc_range: Tuple[float, ...] = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    pfn_filters: Sequence[int] = (64, 64)
+    rpn_layer_nums: Sequence[int] = (3, 5, 5)
+    rpn_strides: Sequence[int] = (2, 2, 2)
+    rpn_filters: Sequence[int] = (64, 128, 256)
+    rpn_up_strides: Sequence[float] = (0.5, 1, 2)
+    rpn_up_filters: Sequence[int] = (128, 128, 128)
+    out_size_factor: int = 4
+    code_weights: Sequence[float] = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2, 1.0, 1.0)
+    loc_weight: float = 0.25
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.reader = PillarFeatureNet(
+            num_filters=self.pfn_filters, masked_bn=True, dtype=self.dtype
+        )
+        self.scatter = PointPillarsScatter(ny=self.grid_ny, nx=self.grid_nx)
+        self.rpn = SECONDRPN(
+            layer_nums=self.rpn_layer_nums,
+            layer_strides=self.rpn_strides,
+            num_filters=self.rpn_filters,
+            upsample_strides=self.rpn_up_strides,
+            num_upsample_filters=self.rpn_up_filters,
+            dtype=self.dtype,
+        )
+        self.head = CenterHead(
+            task_num_classes=self.task_num_classes,
+            weight=self.loc_weight,
+            code_weights=self.code_weights,
+            dtype=self.dtype,
+        )
+
+    def __call__(
+        self,
+        voxels: jnp.ndarray,
+        num_points: jnp.ndarray,
+        coords: jnp.ndarray,
+        train: bool = False,
+    ) -> List[Dict[str, jnp.ndarray]]:
+        feats = decorate_pillar_features(
+            voxels, num_points, coords, self.voxel_size, self.pc_range
+        )
+        pillars = self.reader(feats, num_points, train=train)
+        canvas = self.scatter(pillars, coords)
+        x = self.rpn(canvas, train=train)
+        return self.head(x, train=train)
+
+    def loss(self, batch: Dict[str, Any], train: bool = True):
+        """batch: voxels/num_points/coords + per-task target lists (hm,
+        anno_box, ind, mask, cat), each a list of length num_tasks."""
+        preds = self(batch["voxels"], batch["num_points"], batch["coords"], train=train)
+        example = {k: batch[k] for k in ("hm", "anno_box", "ind", "mask", "cat")}
+        return self.head.loss(preds, example)
+
+    def predict(
+        self,
+        voxels: jnp.ndarray,
+        num_points: jnp.ndarray,
+        coords: jnp.ndarray,
+        score_threshold: float = 0.1,
+        nms_pre: int = 1000,
+        nms_post: int = 83,
+        nms_iou: float = 0.2,
+    ) -> Dict[str, jnp.ndarray]:
+        preds = self(voxels, num_points, coords, train=False)
+        return self.head.predict(
+            preds,
+            pc_range=self.pc_range,
+            voxel_size=self.voxel_size,
+            out_size_factor=self.out_size_factor,
+            score_threshold=score_threshold,
+            nms_pre=nms_pre,
+            nms_post=nms_post,
+            nms_iou=nms_iou,
+        )

@@ -1,0 +1,215 @@
+"""CenterPoint multi-task CenterHead (NHWC Flax).
+
+Rebuild of ``centerpoint/det3d_ms/models/bbox_heads/center_head.py`` (536
+LoC): shared 3x3 conv -> per-task SepHead branches (reg/height/dim/rot/vel/hm),
+FastFocal + per-channel-weighted L1 loss over task groups, and a fully
+on-device predict (sigmoid/exp/atan2 decode, range mask, top-k, rotated BEV
+NMS). The reference hops device->CPU mid-graph for its rotated NMS
+(``ops.Custom(nms_fast.so)``, ``nms_cpu.py:10-27``); here the whole decode is
+one XLA program on the chip.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from minddet_tpu.core.registry import HEADS
+from minddet_tpu.models.losses import (
+    fast_focal_loss,
+    gather_reg_loss_per_channel,
+    sigmoid_clip,
+)
+from minddet_tpu.ops.decode import simple_topk
+from minddet_tpu.ops.nms import rotated_nms
+
+
+class SepHead(nn.Module):
+    """Separate regression branches: each head is (num_conv-1) 3x3 convs(+BN)
+    + ReLU, then a final 3x3 conv (hm branch bias-initialized to -2.19).
+
+    Reference: ``center_head.py:SepHead:28-99`` with bn=True, final_kernel=3.
+    """
+
+    heads: Dict[str, Tuple[int, int]]  # name -> (out_channels, num_conv)
+    head_conv: int = 64
+    init_bias: float = -2.19
+    use_bn: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        out = {}
+        for name, (classes, num_conv) in self.heads.items():
+            y = x
+            for i in range(num_conv - 1):
+                y = nn.Conv(
+                    self.head_conv, (3, 3), padding=1, use_bias=True,
+                    dtype=self.dtype, name=f"{name}_conv{i}",
+                )(y)
+                if self.use_bn:
+                    y = nn.BatchNorm(
+                        use_running_average=not train, momentum=0.9,
+                        dtype=self.dtype, name=f"{name}_bn{i}",
+                    )(y)
+                y = nn.relu(y)
+            bias_init = (
+                nn.initializers.constant(self.init_bias)
+                if "hm" in name
+                else nn.initializers.zeros
+            )
+            out[name] = nn.Conv(
+                classes, (3, 3), padding=1, use_bias=True, bias_init=bias_init,
+                dtype=self.dtype, name=f"{name}_out",
+            )(y)
+        return out
+
+
+@HEADS.register_module()
+class CenterHead(nn.Module):
+    """Multi-task center-based 3D head (nuScenes config:
+    ``configs_ms/nusc/pp/nusc_centerpoint_pp_02voxel_two_pfn_10sweep.py:46-61``).
+    """
+
+    task_num_classes: Sequence[int] = (1, 2, 2, 1, 2, 2)
+    common_heads: Tuple[Tuple[str, Tuple[int, int]], ...] = (
+        ("reg", (2, 2)), ("height", (1, 2)), ("dim", (3, 2)),
+        ("rot", (2, 2)), ("vel", (2, 2)),
+    )
+    share_conv_channel: int = 64
+    num_hm_conv: int = 2
+    weight: float = 0.25  # loc loss weight
+    code_weights: Sequence[float] = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2, 1.0, 1.0)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> List[Dict[str, jnp.ndarray]]:
+        x = nn.Conv(
+            self.share_conv_channel, (3, 3), padding=1, use_bias=True,
+            dtype=self.dtype, name="shared_conv",
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype,
+            name="shared_bn",
+        )(x)
+        x = nn.relu(x)
+        outs = []
+        for t, ncls in enumerate(self.task_num_classes):
+            heads = dict(self.common_heads)
+            heads["hm"] = (ncls, self.num_hm_conv)
+            outs.append(
+                SepHead(heads=heads, dtype=self.dtype, name=f"task{t}")(
+                    x, train=train
+                )
+            )
+        return outs
+
+    # -- loss ---------------------------------------------------------------
+    def loss(
+        self, preds: List[Dict[str, jnp.ndarray]], example: Dict[str, jnp.ndarray]
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """example per task t: hm[t] (B,H,W,Ct), anno_box[t] (B,O,10),
+        ind[t]/mask[t]/cat[t] (B,O). Mirrors ``CenterHead.loss:208-271``."""
+        total = 0.0
+        parts = {}
+        cw = jnp.asarray(self.code_weights)
+        for t, pred in enumerate(preds):
+            hm = sigmoid_clip(pred["hm"].astype(jnp.float32))
+            hm_loss = fast_focal_loss(
+                hm, example["hm"][t], example["ind"][t],
+                example["mask"][t], example["cat"][t],
+            )
+            anno_pred = jnp.concatenate(
+                [pred["reg"], pred["height"], pred["dim"], pred["vel"], pred["rot"]],
+                axis=-1,
+            )
+            box_loss = gather_reg_loss_per_channel(
+                anno_pred, example["mask"][t], example["ind"][t],
+                example["anno_box"][t],
+            )
+            loc_loss = jnp.sum(box_loss * cw)
+            total = total + hm_loss + self.weight * loc_loss
+            parts[f"task{t}_hm"] = hm_loss
+            parts[f"task{t}_loc"] = loc_loss
+        return total, parts
+
+    # -- predict ------------------------------------------------------------
+    def predict(
+        self,
+        preds: List[Dict[str, jnp.ndarray]],
+        pc_range: Sequence[float],
+        voxel_size: Sequence[float],
+        out_size_factor: int = 4,
+        score_threshold: float = 0.1,
+        post_center_range: Sequence[float] = (-61.2, -61.2, -10.0, 61.2, 61.2, 10.0),
+        nms_pre: int = 1000,
+        nms_post: int = 83,
+        nms_iou: float = 0.2,
+    ) -> Dict[str, jnp.ndarray]:
+        """Decode all tasks -> rotated NMS per task -> concat.
+
+        Returns padded (B, T * nms_post) boxes9/scores/labels. Mirrors
+        ``CenterHead.predict:273-463`` but stays on device end to end.
+        """
+        all_boxes, all_scores, all_labels = [], [], []
+        cls_offset = 0
+        pcr = jnp.asarray(post_center_range)
+        for t, pred in enumerate(preds):
+            hm = jax.nn.sigmoid(pred["hm"].astype(jnp.float32))
+            b, h, w, c = hm.shape
+            scores, pos, cls, ys, xs = simple_topk(hm, k=nms_pre)
+
+            def gather(m):
+                return jax.vmap(lambda f, i: f.reshape(h * w, -1)[i])(
+                    m.astype(jnp.float32), pos
+                )
+
+            reg = gather(pred["reg"])
+            height = gather(pred["height"])[..., 0]
+            dim = jnp.exp(gather(pred["dim"]))
+            rot = gather(pred["rot"])
+            vel = gather(pred["vel"])
+            yaw = jnp.arctan2(rot[..., 0], rot[..., 1])
+
+            cx = (xs + reg[..., 0]) * out_size_factor * voxel_size[0] + pc_range[0]
+            cy = (ys + reg[..., 1]) * out_size_factor * voxel_size[1] + pc_range[1]
+            boxes = jnp.concatenate(
+                [
+                    cx[..., None], cy[..., None], height[..., None],
+                    dim, vel, yaw[..., None],
+                ],
+                axis=-1,
+            )  # (B, K, 9)
+
+            in_range = jnp.all(boxes[..., :3] >= pcr[:3], axis=-1) & jnp.all(
+                boxes[..., :3] <= pcr[3:], axis=-1
+            )
+            scores = jnp.where(in_range, scores, 0.0)
+
+            def per_sample(bx, sc, lb):
+                bev = bx[:, [0, 1, 3, 4, 8]]
+                keep, _ = rotated_nms(
+                    bev, sc, iou_threshold=nms_iou,
+                    score_threshold=score_threshold, max_outputs=nms_post,
+                )
+                sel = jnp.clip(keep, 0, bx.shape[0] - 1)
+                ok = keep >= 0
+                return (
+                    jnp.where(ok[:, None], bx[sel], 0.0),
+                    jnp.where(ok, sc[sel], 0.0),
+                    jnp.where(ok, lb[sel], -1),
+                )
+
+            bx, sc, lb = jax.vmap(per_sample)(boxes, scores, cls + cls_offset)
+            all_boxes.append(bx)
+            all_scores.append(sc)
+            all_labels.append(lb)
+            cls_offset += c
+        return {
+            "boxes": jnp.concatenate(all_boxes, axis=1),
+            "scores": jnp.concatenate(all_scores, axis=1),
+            "labels": jnp.concatenate(all_labels, axis=1),
+        }

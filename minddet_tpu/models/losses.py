@@ -179,3 +179,22 @@ def weighted_softmax_ce(
     if weights is not None:
         loss = loss * weights
     return loss
+
+
+@LOSSES.register_module()
+def gather_reg_loss_per_channel(
+    output: jnp.ndarray,
+    mask: jnp.ndarray,
+    ind: jnp.ndarray,
+    target: jnp.ndarray,
+) -> jnp.ndarray:
+    """Per-channel masked L1 at gathered centers -> (C,) vector.
+
+    CenterPoint's ``RegLoss`` (det3d_ms/models/losses/centernet_loss.py:22):
+    sums over batch and objects per regression channel, normalized by the
+    positive count, so per-channel code weights can be applied by the caller.
+    """
+    pred = gather_feature(output, ind).astype(jnp.float32)  # (B, O, C)
+    m = mask.astype(jnp.float32)[..., None]
+    num = jnp.sum(m) + 1e-4
+    return jnp.sum(jnp.abs(pred - target.astype(jnp.float32)) * m, axis=(0, 1)) / num

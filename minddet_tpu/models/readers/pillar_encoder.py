@@ -1,0 +1,142 @@
+"""Pillar Feature Network + pseudo-image scatter (NHWC, masked, static-shape).
+
+Rebuilds the reference's two PFN variants — PointPillars'
+(``pointpillars/src/pointpillars.py:180-320``: Dense -> BN over channels ->
+ReLU -> max over points) and CenterPoint's masked-BatchNorm flavor
+(``det3d_ms/models/readers/pillar_encoder.py:18-199``, ``custom_bn.py:8``,
+where BN statistics run over valid pillars only) — plus the ScatterNd
+pseudo-image (``PointPillarsScatter``, pillar_encoder.py:203-230) as a single
+`.at[].set` scatter into an NHWC canvas.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from minddet_tpu.core.registry import READERS
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm whose statistics cover only valid (masked) positions.
+
+    The reference's ``BatchNorm2dMasked`` (centerpoint custom_bn.py:8): padded
+    pillar slots would otherwise drag the batch statistics toward zero.
+    """
+
+    momentum: float = 0.99
+    epsilon: float = 1e-3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        # x: (..., C); mask broadcastable to x[..., 0]
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if train:
+            m = mask.astype(jnp.float32)[..., None]
+            denom = jnp.maximum(jnp.sum(m), 1.0)
+            xf = x.astype(jnp.float32)
+            mean = jnp.sum(xf * m, axis=tuple(range(x.ndim - 1))) / denom
+            var = jnp.sum(((xf - mean) ** 2) * m, axis=tuple(range(x.ndim - 1))) / denom
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+        y = (x.astype(jnp.float32) - mean) / jnp.sqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(x.dtype)
+
+
+class PFNLayer(nn.Module):
+    """Dense -> (masked) BN -> ReLU -> max over points.
+
+    Reference: ``PFNLayer`` (pointpillars.py:180-224). Non-last layers emit
+    half width and concat the pillar max back onto each point.
+    """
+
+    out_features: int
+    last_layer: bool = True
+    masked_bn: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, point_mask, train: bool = False):
+        units = self.out_features if self.last_layer else self.out_features // 2
+        x = nn.Dense(units, use_bias=False, dtype=self.dtype, name="linear")(x)
+        if self.masked_bn:
+            x = MaskedBatchNorm(dtype=self.dtype, name="norm")(x, point_mask, train=train)
+        else:
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.99, epsilon=1e-3,
+                dtype=self.dtype, name="norm",
+            )(x)
+        x = nn.relu(x)
+        x = x * point_mask[..., None].astype(x.dtype)
+        x_max = jnp.max(x, axis=2, keepdims=True)  # (B, V, 1, U)
+        if self.last_layer:
+            return x_max
+        rep = jnp.broadcast_to(x_max, x.shape[:2] + (x.shape[2], units))
+        return jnp.concatenate([x, rep], axis=-1)
+
+
+@READERS.register_module()
+class PillarFeatureNet(nn.Module):
+    """Decorated pillar points (B, V, P, 10) -> pillar features (B, V, C).
+
+    Feature decoration (cluster/center offsets) happens in
+    ``ops.voxelize.decorate_pillar_features`` so it can fuse with the
+    voxelizer; this module is the learned part only.
+    """
+
+    num_filters: Sequence[int] = (64,)
+    masked_bn: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, num_points, train: bool = False):
+        b, v, p, _ = features.shape
+        point_mask = (
+            jnp.arange(p)[None, None, :] < num_points[..., None]
+        )
+        x = features.astype(self.dtype)
+        for i, nf in enumerate(self.num_filters):
+            last = i == len(self.num_filters) - 1
+            x = PFNLayer(
+                nf, last_layer=last, masked_bn=self.masked_bn,
+                dtype=self.dtype, name=f"pfn{i}",
+            )(x, point_mask, train=train)
+        return x.squeeze(axis=2)  # (B, V, C)
+
+
+@READERS.register_module()
+class PointPillarsScatter(nn.Module):
+    """Pillar features (B, V, C) + coords (B, V, 3)[gz,gy,gx] -> (B, ny, nx, C).
+
+    One `.at[].set` scatter replaces the reference's ScatterNd + slice dance
+    (pillar_encoder.py:223-230, pointpillars.py:356-364). Empty slots
+    (coords < 0) are dropped via index clamping + mode="drop".
+    """
+
+    ny: int
+    nx: int
+
+    @nn.compact
+    def __call__(self, pillar_features, coords):
+        b, v, c = pillar_features.shape
+        gy = coords[..., 1]
+        gx = coords[..., 2]
+        valid = coords[..., 0] >= 0
+        gy = jnp.where(valid, gy, self.ny)  # out-of-range -> dropped
+        gx = jnp.where(valid, gx, self.nx)
+        canvas = jnp.zeros((b, self.ny, self.nx, c), pillar_features.dtype)
+        bidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, v))
+        canvas = canvas.at[bidx, gy, gx].set(pillar_features, mode="drop")
+        return canvas

@@ -1,0 +1,184 @@
+"""3D anchor grids, BEV occupancy anchor masking, and target assignment.
+
+TPU-native rebuild of the reference's host-side anchor machinery:
+``AnchorGeneratorStride`` (``pointpillars/src/core/anchor_generator.py:6-59``),
+the detectron-style IoU matcher ``create_target_np``
+(``src/core/target_assigner.py:29-167``), ``NearestIouSimilarity``
+(``src/core/region_similarity.py:39``), and the BEV-occupancy anchor mask
+(``sparse_sum_for_anchors_mask`` / ``fused_get_anchors_area`` in
+``box_np_ops.py``). Everything is a fixed-shape batched XLA program: padded GT
+boxes with masks instead of variable-length lists, scatter/argmax instead of
+numba loops — so target assignment runs inside the jitted train step.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from minddet_tpu.ops.box import pairwise_iou, rbbox_to_near_bbox, second_box_encode
+
+
+def create_anchors_3d_stride(
+    feature_size: Tuple[int, int],  # (ny, nx) of the anchor grid
+    sizes: Sequence[float] = (1.6, 3.9, 1.56),
+    anchor_strides: Sequence[float] = (0.4, 0.4, 0.0),
+    anchor_offsets: Sequence[float] = (0.2, -39.8, -1.78),
+    rotations: Sequence[float] = (0.0, float(np.pi / 2)),
+) -> np.ndarray:
+    """Strided anchor grid -> (ny, nx, n_size, n_rot, 7) float32 (numpy,
+    computed once at build time — anchors are static for a config).
+
+    Matches ``box_np_ops.create_anchors_3d_stride`` semantics: centers at
+    offset + index * stride, boxes as [x, y, z, w, l, h, yaw].
+    """
+    ny, nx = feature_size
+    sizes = np.asarray(sizes, np.float32).reshape(-1, 3)
+    rotations = np.asarray(rotations, np.float32)
+    xs = anchor_offsets[0] + np.arange(nx, dtype=np.float32) * anchor_strides[0]
+    ys = anchor_offsets[1] + np.arange(ny, dtype=np.float32) * anchor_strides[1]
+    z = np.float32(anchor_offsets[2])
+
+    n_s, n_r = sizes.shape[0], rotations.shape[0]
+    out = np.zeros((ny, nx, n_s, n_r, 7), np.float32)
+    out[..., 0] = xs[None, :, None, None]
+    out[..., 1] = ys[:, None, None, None]
+    out[..., 2] = z
+    out[..., 3:6] = sizes[None, None, :, None, :]
+    out[..., 6] = rotations[None, None, None, :]
+    return out
+
+
+class ClassAnchorConfig(NamedTuple):
+    """Per-class anchor spec (one reference AnchorGeneratorStride each)."""
+
+    name: str
+    sizes: Tuple[float, ...]
+    strides: Tuple[float, ...]
+    offsets: Tuple[float, ...]
+    rotations: Tuple[float, ...] = (0.0, float(np.pi / 2))
+    matched_threshold: float = 0.6
+    unmatched_threshold: float = 0.45
+
+
+def generate_anchors(
+    feature_size: Tuple[int, int], configs: Sequence[ClassAnchorConfig]
+) -> Dict[str, np.ndarray]:
+    """Concatenate per-class anchor grids (reference TargetAssigner.generate_anchors).
+
+    Returns anchors (A, 7), per-anchor matched/unmatched thresholds (A,).
+    """
+    all_anchors, m_th, u_th = [], [], []
+    for cfg in configs:
+        a = create_anchors_3d_stride(
+            feature_size, cfg.sizes, cfg.strides, cfg.offsets, cfg.rotations
+        ).reshape(feature_size[0], feature_size[1], -1, 7)
+        n = a.shape[2]
+        all_anchors.append(a)
+        m_th.append(np.full((feature_size[0], feature_size[1], n), cfg.matched_threshold, np.float32))
+        u_th.append(np.full((feature_size[0], feature_size[1], n), cfg.unmatched_threshold, np.float32))
+    anchors = np.concatenate(all_anchors, axis=2).reshape(-1, 7)
+    return {
+        "anchors": anchors,
+        "matched_threshold": np.concatenate(m_th, axis=2).reshape(-1),
+        "unmatched_threshold": np.concatenate(u_th, axis=2).reshape(-1),
+    }
+
+
+def anchors_bev_area_mask(
+    coords: jnp.ndarray,
+    anchors_bev: jnp.ndarray,
+    grid_shape: Tuple[int, int],
+    voxel_size: Sequence[float],
+    pc_range: Sequence[float],
+    area_threshold: float = 1.0,
+) -> jnp.ndarray:
+    """Anchor mask from pillar occupancy (reference anchor_area_threshold=1).
+
+    coords: (V, 3) [gz, gy, gx] (-1 = empty); anchors_bev: (A, 4) xyxy in
+    world units. Builds the BEV occupancy integral image and counts occupied
+    cells under each anchor's footprint — the fused
+    ``sparse_sum_for_anchors_mask`` + ``fused_get_anchors_area`` pair.
+    """
+    ny, nx = grid_shape
+    occ = jnp.zeros((ny, nx), jnp.float32)
+    valid = coords[:, 0] >= 0
+    gy = jnp.where(valid, coords[:, 1], 0)
+    gx = jnp.where(valid, coords[:, 2], 0)
+    occ = occ.at[gy, gx].max(valid.astype(jnp.float32), mode="drop")
+    integral = jnp.cumsum(jnp.cumsum(occ, axis=0), axis=1)
+    integral = jnp.pad(integral, ((1, 0), (1, 0)))
+
+    vs = jnp.asarray(voxel_size, jnp.float32)
+    origin = jnp.asarray(pc_range[:2], jnp.float32)
+    x1 = jnp.clip(jnp.floor((anchors_bev[:, 0] - origin[0]) / vs[0]), 0, nx - 1).astype(jnp.int32)
+    y1 = jnp.clip(jnp.floor((anchors_bev[:, 1] - origin[1]) / vs[1]), 0, ny - 1).astype(jnp.int32)
+    x2 = jnp.clip(jnp.floor((anchors_bev[:, 2] - origin[0]) / vs[0]), 0, nx - 1).astype(jnp.int32)
+    y2 = jnp.clip(jnp.floor((anchors_bev[:, 3] - origin[1]) / vs[1]), 0, ny - 1).astype(jnp.int32)
+    area = (
+        integral[y2 + 1, x2 + 1]
+        - integral[y1, x2 + 1]
+        - integral[y2 + 1, x1]
+        + integral[y1, x1]
+    )
+    return area > area_threshold
+
+
+def assign_targets(
+    anchors: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_classes: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    matched_threshold: jnp.ndarray,
+    unmatched_threshold: jnp.ndarray,
+    anchors_mask: jnp.ndarray = None,
+) -> Dict[str, jnp.ndarray]:
+    """Detectron-style anchor assignment, fully vectorized (one sample).
+
+    anchors (A, 7); gt_boxes (G, 7) padded; gt_classes (G,) int (1-based);
+    gt_mask (G,) validity. Returns labels (A,) int32 (-1 ignore, 0 bg, else
+    class), bbox_targets (A, 7), reg_weights (A,).
+
+    Semantics follow ``create_target_np:29-167``: nearest-BEV IoU similarity,
+    positives above per-anchor matched_threshold, forced positives for each
+    GT's best anchor (ties included), ignore band between thresholds.
+    """
+    a = anchors.shape[0]
+    near_anchors = rbbox_to_near_bbox(anchors[:, [0, 1, 3, 4, 6]])
+    near_gt = rbbox_to_near_bbox(gt_boxes[:, [0, 1, 3, 4, 6]])
+    iou = pairwise_iou(near_anchors, near_gt)  # (A, G)
+    iou = jnp.where(gt_mask[None, :], iou, -1.0)
+    if anchors_mask is not None:
+        iou = jnp.where(anchors_mask[:, None], iou, -1.0)
+
+    anchor_to_gt = jnp.argmax(iou, axis=1)
+    anchor_to_gt_max = jnp.max(iou, axis=1)
+
+    # forced match: every anchor achieving a GT's best (non-zero) overlap
+    gt_to_anchor_max = jnp.max(iou, axis=0)  # (G,)
+    gt_best = jnp.where(gt_to_anchor_max <= 0, -1.0, gt_to_anchor_max)
+    force = jnp.any((iou == gt_best[None, :]) & gt_mask[None, :] & (iou > 0), axis=1)
+
+    pos = anchor_to_gt_max >= matched_threshold
+    neg = anchor_to_gt_max < unmatched_threshold
+
+    labels = jnp.full((a,), -1, jnp.int32)
+    labels = jnp.where(neg, 0, labels)
+    assigned_cls = gt_classes[anchor_to_gt].astype(jnp.int32)
+    labels = jnp.where(pos | force, assigned_cls, labels)
+    if anchors_mask is not None:
+        labels = jnp.where(anchors_mask, labels, -1)
+
+    targets = second_box_encode(gt_boxes[anchor_to_gt], anchors)
+    is_fg = (labels > 0)[:, None]
+    targets = jnp.where(is_fg, targets, 0.0)
+    reg_weights = (labels > 0).astype(jnp.float32)
+    return {"labels": labels, "bbox_targets": targets, "reg_weights": reg_weights}
+
+
+assign_targets_batch = jax.vmap(
+    assign_targets, in_axes=(None, 0, 0, 0, None, None, 0)
+)

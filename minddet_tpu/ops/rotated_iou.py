@@ -22,6 +22,12 @@ import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
+# Inclusion tests compare cross products whose FP rounding error scales with
+# coordinate magnitude (~1e-4 at KITTI ranges). Being inclusive is safe: a
+# borderline point is a near-duplicate of a true clip vertex, contributing
+# ~zero area — while a false exclusion can drop the whole intersection for
+# touching/identical boxes.
+_EPS_INCLUDE = 1e-4
 
 
 def rect_corners(boxes: jnp.ndarray) -> jnp.ndarray:
@@ -46,7 +52,7 @@ def _points_in_quad(pts: jnp.ndarray, quad: jnp.ndarray) -> jnp.ndarray:
     nxt = jnp.roll(quad, -1, axis=0)
     # cross((q1-q0), (p-q0)) >= 0 for all edges
     d = _cross(quad[None, :, :], nxt[None, :, :], pts[:, None, :])
-    return jnp.all(d >= -_EPS, axis=-1)
+    return jnp.all(d >= -_EPS_INCLUDE, axis=-1)
 
 
 def _segment_intersections(ca: jnp.ndarray, cb: jnp.ndarray):
@@ -68,8 +74,11 @@ def _segment_intersections(ca: jnp.ndarray, cb: jnp.ndarray):
     u = (qp[:, 0] * r[:, 1] - qp[:, 1] * r[:, 0]) / jnp.where(
         jnp.abs(denom) < _EPS, 1.0, denom
     )
+    tol = 1e-6
     valid = (
-        (jnp.abs(denom) >= _EPS) & (t >= 0) & (t <= 1) & (u >= 0) & (u <= 1)
+        (jnp.abs(denom) >= _EPS)
+        & (t >= -tol) & (t <= 1 + tol)
+        & (u >= -tol) & (u <= 1 + tol)
     )
     pts = a0 + t[:, None] * r
     return pts, valid

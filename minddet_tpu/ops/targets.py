@@ -122,3 +122,90 @@ def centernet_targets(
 centernet_targets_batch = jax.vmap(
     centernet_targets, in_axes=(0, 0, 0, None, None, None, None), out_axes=0
 )
+
+
+# ---------------------------------------------------------------------------
+# CenterPoint multi-task targets (nuScenes/Waymo)
+# ---------------------------------------------------------------------------
+
+def centerpoint_targets(
+    gt_boxes: jnp.ndarray,
+    gt_classes: jnp.ndarray,
+    gt_mask: jnp.ndarray,
+    feature_size: Tuple[int, int],
+    num_classes: int,
+    pc_range: Tuple[float, ...],
+    voxel_size: Tuple[float, ...],
+    out_size_factor: int = 4,
+    gaussian_overlap: float = 0.1,
+    min_radius: float = 2.0,
+    max_objs: int = 500,
+) -> Dict[str, jnp.ndarray]:
+    """Targets for ONE CenterHead task group, on device.
+
+    gt_boxes: (O, 9) [x, y, z, w, l, h, vx, vy, rot] world units, padded;
+    gt_classes: (O,) int within-task class ids (0-based); gt_mask validity.
+    Returns hm (H, W, C), anno_box (O, 10) [dx, dy, z, log dims, vx, vy,
+    sin r, cos r], ind (O,), mask (O,), cat (O,) — the exact example columns of
+    the reference's AssignLabel pipeline
+    (``det3d_ms/datasets/pipelines/preprocess.py:286-481``).
+    """
+    h, w = feature_size
+    vx_sz = voxel_size[0] * out_size_factor
+    vy_sz = voxel_size[1] * out_size_factor
+
+    x, y, z = gt_boxes[:, 0], gt_boxes[:, 1], gt_boxes[:, 2]
+    dx, dy_, dz = gt_boxes[:, 3], gt_boxes[:, 4], gt_boxes[:, 5]
+    vel_x, vel_y = gt_boxes[:, 6], gt_boxes[:, 7]
+    rot = gt_boxes[:, 8]
+
+    gw = dx / vx_sz  # footprint in feature-map cells
+    gl = dy_ / vy_sz
+    valid = gt_mask & (gw > 0) & (gl > 0)
+
+    radius = gaussian_radius((gl, gw), gaussian_overlap)
+    radius = jnp.maximum(jnp.floor(radius), min_radius)
+
+    cx = (x - pc_range[0]) / vx_sz
+    cy = (y - pc_range[1]) / vy_sz
+    inb = (cx >= 0) & (cx < w) & (cy >= 0) & (cy < h)
+    valid = valid & inb
+    cx = jnp.clip(cx, 0.0, w - 1e-3)
+    cy = jnp.clip(cy, 0.0, h - 1e-3)
+
+    hm = draw_gaussians(
+        jnp.stack([cx, cy], -1), radius, gt_classes, valid, h, w, num_classes
+    )
+
+    cxi = jnp.floor(cx)
+    cyi = jnp.floor(cy)
+    ind = jnp.where(valid, (cyi * w + cxi).astype(jnp.int32), 0)
+    anno_box = jnp.stack(
+        [
+            cx - cxi,
+            cy - cyi,
+            z,
+            jnp.log(jnp.maximum(dx, 1e-6)),
+            jnp.log(jnp.maximum(dy_, 1e-6)),
+            jnp.log(jnp.maximum(dz, 1e-6)),
+            vel_x,
+            vel_y,
+            jnp.sin(rot),
+            jnp.cos(rot),
+        ],
+        axis=-1,
+    ) * valid[:, None]
+    return {
+        "hm": hm,
+        "anno_box": anno_box,
+        "ind": ind,
+        "mask": valid.astype(jnp.float32),
+        "cat": jnp.where(valid, gt_classes, 0).astype(jnp.int32),
+    }
+
+
+centerpoint_targets_batch = jax.vmap(
+    centerpoint_targets,
+    in_axes=(0, 0, 0) + (None,) * 8,
+    out_axes=0,
+)

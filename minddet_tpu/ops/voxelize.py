@@ -1,0 +1,166 @@
+"""Device-side point-cloud voxelization with static shapes.
+
+The reference voxelizes on the host with numba hash-grid kernels
+(``pointpillars/src/core/point_cloud/point_cloud_ops.py:20-114``,
+``centerpoint/det3d_ms/ops/point_cloud/point_cloud_ops.py:6-180``) — a
+per-sample python/JIT loop in the input pipeline. Here the same contract
+(max_voxels / max_points_per_voxel caps, first-come-first-kept points) runs as
+one sorted-scatter XLA program on device, so voxelization fuses into the
+jitted train step and the host only ships raw padded points.
+
+Algorithm (per sample, vmapped over batch):
+  1. grid index per point; invalid/ out-of-range points get id = +inf-ish.
+  2. stable-sort point order by voxel id (keeps first-come point priority).
+  3. first-occurrence flags -> cumsum = voxel slot per point (capped).
+  4. rank of each point inside its voxel via a forward-fill of the first
+     occurrence position.
+  5. scatter points to (max_voxels, max_points, F), coords, counts.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+class VoxelizeOutput(NamedTuple):
+    voxels: jnp.ndarray      # (max_voxels, max_points, F)
+    num_points: jnp.ndarray  # (max_voxels,) int32
+    coords: jnp.ndarray      # (max_voxels, 3) int32 [gz, gy, gx], -1 = empty
+    num_voxels: jnp.ndarray  # () int32
+
+
+def grid_size(point_cloud_range: Sequence[float], voxel_size: Sequence[float]) -> Tuple[int, int, int]:
+    """(nx, ny, nz) from range/size, rounded like the reference."""
+    import numpy as np
+
+    pcr = np.asarray(point_cloud_range, np.float64)
+    vs = np.asarray(voxel_size, np.float64)
+    g = np.round((pcr[3:] - pcr[:3]) / vs).astype(int)
+    return int(g[0]), int(g[1]), int(g[2])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("voxel_size", "point_cloud_range", "max_voxels", "max_points"),
+)
+def voxelize(
+    points: jnp.ndarray,
+    points_mask: jnp.ndarray,
+    voxel_size: Tuple[float, float, float],
+    point_cloud_range: Tuple[float, float, float, float, float, float],
+    max_voxels: int = 16000,
+    max_points: int = 32,
+) -> VoxelizeOutput:
+    """points (N, F>=3) with validity mask (N,) -> pillars/voxels.
+
+    Matches ``points_to_voxel``'s reverse-index behavior: coords are
+    (gz, gy, gx) and the first ``max_points`` points per voxel (in input
+    order) are kept; voxels beyond ``max_voxels`` are dropped in
+    first-appearance order.
+    """
+    n, f = points.shape
+    vs = jnp.asarray(voxel_size, jnp.float32)
+    pcr = jnp.asarray(point_cloud_range, jnp.float32)
+    nx, ny, nz = grid_size(point_cloud_range, voxel_size)
+
+    g = jnp.floor((points[:, :3] - pcr[:3]) / vs).astype(jnp.int32)  # (N, 3) gx,gy,gz
+    in_range = (
+        (g[:, 0] >= 0) & (g[:, 0] < nx)
+        & (g[:, 1] >= 0) & (g[:, 1] < ny)
+        & (g[:, 2] >= 0) & (g[:, 2] < nz)
+        & points_mask.astype(bool)
+    )
+    vid = (g[:, 2] * ny + g[:, 1]) * nx + g[:, 0]
+    big = nx * ny * nz + 1
+    vid = jnp.where(in_range, vid, big)
+
+    # stable sort keeps input order within a voxel (first-come priority)
+    order = jnp.argsort(vid, stable=True)
+    svid = vid[order]
+
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), svid[1:] != svid[:-1]]
+    ) & (svid < big)
+    slot = jnp.cumsum(first.astype(jnp.int32)) - 1  # voxel slot per sorted point
+    # forward-fill position of each voxel's first point -> rank inside voxel
+    pos = jnp.arange(n, dtype=jnp.int32)
+    first_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, pos, -1)
+    )
+    rank = pos - first_pos
+
+    keep = (svid < big) & (slot < max_voxels) & (rank < max_points)
+    slot_c = jnp.where(keep, slot, max_voxels)  # dump dropped into overflow row
+    rank_c = jnp.where(keep, rank, 0)
+
+    voxels = jnp.zeros((max_voxels + 1, max_points, f), points.dtype)
+    voxels = voxels.at[slot_c, rank_c].set(points[order], mode="drop")
+
+    counts = jnp.zeros((max_voxels + 1,), jnp.int32)
+    counts = counts.at[slot_c].add(keep.astype(jnp.int32), mode="drop")
+
+    sg = g[order]
+    coords_full = jnp.stack([sg[:, 2], sg[:, 1], sg[:, 0]], axis=-1)  # gz, gy, gx
+    coords = jnp.full((max_voxels + 1, 3), -1, jnp.int32)
+    coords = coords.at[slot_c].set(
+        jnp.where(keep[:, None], coords_full, -1), mode="drop"
+    )
+    # the .at[].set above may be overwritten by dropped points writing -1 into
+    # slot max_voxels only; for kept voxels every point of the voxel writes the
+    # same coords, so last-write-wins is safe.
+    num_voxels = jnp.minimum(jnp.max(slot) + 1, max_voxels).astype(jnp.int32)
+    return VoxelizeOutput(
+        voxels[:max_voxels], counts[:max_voxels], coords[:max_voxels], num_voxels
+    )
+
+
+voxelize_batch = jax.vmap(voxelize, in_axes=(0, 0, None, None, None, None))
+
+
+def decorate_pillar_features(
+    voxels: jnp.ndarray,
+    num_points: jnp.ndarray,
+    coords: jnp.ndarray,
+    voxel_size: Sequence[float],
+    point_cloud_range: Sequence[float],
+    with_distance: bool = False,
+) -> jnp.ndarray:
+    """Append cluster-offset and center-offset channels (4 -> 10 features).
+
+    Mirrors ``PillarFeatureNet.construct``'s decoration
+    (``pointpillars/src/pointpillars.py:226-320``): per-point offsets from the
+    pillar's point mean (f_cluster) and from the pillar's geometric center
+    (f_center), with empty slots re-zeroed.
+    """
+    b, v, p, f = voxels.shape
+    vs = jnp.asarray(voxel_size, jnp.float32)
+    pcr = jnp.asarray(point_cloud_range, jnp.float32)
+
+    npts = jnp.maximum(num_points, 1).astype(jnp.float32)[..., None, None]
+    points_mean = jnp.sum(voxels[..., :3], axis=2, keepdims=True) / npts
+    f_cluster = voxels[..., :3] - points_mean
+
+    # coords are (gz, gy, gx)
+    centers = jnp.stack(
+        [
+            coords[..., 2].astype(jnp.float32) * vs[0] + (vs[0] / 2 + pcr[0]),
+            coords[..., 1].astype(jnp.float32) * vs[1] + (vs[1] / 2 + pcr[1]),
+            coords[..., 0].astype(jnp.float32) * vs[2] + (vs[2] / 2 + pcr[2]),
+        ],
+        axis=-1,
+    )  # (B, V, 3)
+    f_center = voxels[..., :3] - centers[:, :, None, :]
+
+    feats = [voxels, f_cluster, f_center]
+    if with_distance:
+        feats.append(jnp.linalg.norm(voxels[..., :3], axis=-1, keepdims=True))
+    out = jnp.concatenate(feats, axis=-1)
+
+    point_mask = (
+        jnp.arange(p)[None, None, :] < num_points[..., None]
+    ).astype(out.dtype)
+    return out * point_mask[..., None]

@@ -1,0 +1,131 @@
+"""CenterPoint: targets, multi-task head shapes, loss grads, predict (tiny)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from minddet_tpu.models.detectors.centerpoint import CenterPoint
+from minddet_tpu.ops.targets import centerpoint_targets_batch
+from minddet_tpu.ops.voxelize import voxelize_batch
+
+VS = (0.4, 0.4, 8.0)
+PCR = (-6.4, -6.4, -5.0, 6.4, 6.4, 3.0)  # 32x32 grid
+NY = NX = 32
+OSF = 4  # feature map 8x8
+TASKS = (1, 2)
+MAXV, MAXP, MAXO = 128, 8, 16
+
+
+def _targets(gt, cls, mask, ncls):
+    return centerpoint_targets_batch(
+        gt, cls, mask, (NY // OSF, NX // OSF), ncls, PCR, VS, OSF, 0.1, 1.0, MAXO
+    )
+
+
+@pytest.fixture(scope="module")
+def setup():
+    model = CenterPoint(
+        task_num_classes=TASKS, grid_ny=NY, grid_nx=NX, voxel_size=VS,
+        pc_range=PCR, rpn_filters=(32, 64, 128), rpn_up_filters=(32, 32, 32),
+        out_size_factor=OSF,
+    )
+    rng = np.random.RandomState(0)
+    b, n = 2, 300
+    pts = np.stack(
+        [
+            rng.uniform(-6, 6, (b, n)),
+            rng.uniform(-6, 6, (b, n)),
+            rng.uniform(-2, 1, (b, n)),
+            rng.uniform(0, 1, (b, n)),
+            rng.uniform(0, 0.5, (b, n)),  # 5th feature (sweep dt)
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    vox = voxelize_batch(jnp.asarray(pts), jnp.ones((b, n), bool), VS, PCR, MAXV, MAXP)
+    variables = model.init(
+        jax.random.PRNGKey(0), vox.voxels, vox.num_points, vox.coords
+    )
+    return model, variables, vox
+
+
+def _task_targets(b=2):
+    rng = np.random.RandomState(1)
+    example = {"hm": [], "anno_box": [], "ind": [], "mask": [], "cat": []}
+    for ncls in TASKS:
+        gt = np.zeros((b, MAXO, 9), np.float32)
+        cls = np.zeros((b, MAXO), np.int32)
+        mask = np.zeros((b, MAXO), bool)
+        for i in range(b):
+            gt[i, 0] = [rng.uniform(-4, 4), rng.uniform(-4, 4), -1.0,
+                        1.9, 4.5, 1.7, 0.1, -0.2, 0.4]
+            cls[i, 0] = rng.randint(0, ncls)
+            mask[i, 0] = True
+        t = _targets(jnp.asarray(gt), jnp.asarray(cls), jnp.asarray(mask), ncls)
+        for k in example:
+            example[k].append(t[k])
+    return example
+
+
+def test_targets_shapes_and_peak():
+    example = _task_targets()
+    assert example["hm"][0].shape == (2, 8, 8, 1)
+    assert example["hm"][1].shape == (2, 8, 8, 2)
+    assert float(jnp.max(example["hm"][0])) == 1.0
+    assert example["anno_box"][0].shape == (2, MAXO, 10)
+    # sin^2 + cos^2 = 1 for the valid object
+    ab = np.asarray(example["anno_box"][0][0, 0])
+    np.testing.assert_allclose(ab[8] ** 2 + ab[9] ** 2, 1.0, atol=1e-5)
+
+
+def test_forward_shapes(setup):
+    model, variables, vox = setup
+    preds = model.apply(variables, vox.voxels, vox.num_points, vox.coords)
+    assert len(preds) == len(TASKS)
+    for t, ncls in enumerate(TASKS):
+        assert preds[t]["hm"].shape == (2, 8, 8, ncls)
+        assert preds[t]["reg"].shape == (2, 8, 8, 2)
+        assert preds[t]["dim"].shape == (2, 8, 8, 3)
+        assert preds[t]["vel"].shape == (2, 8, 8, 2)
+        assert preds[t]["rot"].shape == (2, 8, 8, 2)
+        assert preds[t]["height"].shape == (2, 8, 8, 1)
+
+
+def test_loss_and_grads(setup):
+    model, variables, vox = setup
+    example = _task_targets()
+    batch = {
+        "voxels": vox.voxels, "num_points": vox.num_points, "coords": vox.coords,
+        **example,
+    }
+    params = variables["params"]
+    others = {k: v for k, v in variables.items() if k != "params"}
+
+    def loss_fn(p):
+        (total, parts), _ = model.apply(
+            {"params": p, **others}, batch, train=True,
+            method=model.loss, mutable=["batch_stats"],
+        )
+        return total, parts
+
+    (total, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+    assert np.isfinite(float(total)) and float(total) > 0
+    assert "task0_hm" in parts and "task1_loc" in parts
+    leaves = jax.tree_util.tree_leaves(grads)
+    assert all(np.all(np.isfinite(np.asarray(g))) for g in leaves)
+
+
+def test_predict(setup):
+    model, variables, vox = setup
+    out = model.apply(
+        variables, vox.voxels, vox.num_points, vox.coords,
+        0.0, 32, 8, 0.2,
+        method=model.predict,
+    )
+    t = len(TASKS)
+    assert out["boxes"].shape == (2, t * 8, 9)
+    assert out["scores"].shape == (2, t * 8)
+    assert out["labels"].shape == (2, t * 8)
+    # labels are global (task-offset) class ids in [0, 3) or -1
+    lb = np.asarray(out["labels"])
+    assert lb.max() < sum(TASKS) and lb.min() >= -1

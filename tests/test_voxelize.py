@@ -1,0 +1,127 @@
+"""Voxelizer golden tests against an independent numpy hash-grid reference."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from minddet_tpu.ops.voxelize import (
+    decorate_pillar_features,
+    grid_size,
+    voxelize,
+    voxelize_batch,
+)
+
+VS = (0.16, 0.16, 4.0)
+PCR = (0.0, -39.68, -3.0, 69.12, 39.68, 1.0)
+
+
+def _np_voxelize(points, voxel_size, pcr, max_voxels, max_points):
+    """Independent reference: dict-based hash grid, first-come order."""
+    nx, ny, nz = grid_size(pcr, voxel_size)
+    voxels = {}
+    order = []
+    for p in points:
+        g = np.floor((p[:3] - np.array(pcr[:3])) / np.array(voxel_size)).astype(int)
+        if not (0 <= g[0] < nx and 0 <= g[1] < ny and 0 <= g[2] < nz):
+            continue
+        key = (g[2], g[1], g[0])
+        if key not in voxels:
+            if len(voxels) >= max_voxels:
+                continue
+            voxels[key] = []
+            order.append(key)
+        if len(voxels[key]) < max_points:
+            voxels[key].append(p)
+    return voxels, order
+
+
+def _rand_points(rng, n=2000):
+    pts = np.stack(
+        [
+            rng.uniform(-5, 75, n),
+            rng.uniform(-45, 45, n),
+            rng.uniform(-4, 2, n),
+            rng.uniform(0, 1, n),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    return pts
+
+
+def test_voxelize_matches_numpy_reference():
+    rng = np.random.RandomState(0)
+    pts = _rand_points(rng)
+    mask = np.ones(len(pts), bool)
+    out = voxelize(jnp.asarray(pts), jnp.asarray(mask), VS, PCR, 16000, 32)
+    ref_vox, ref_order = _np_voxelize(pts, VS, PCR, 16000, 32)
+
+    assert int(out.num_voxels) == len(ref_vox)
+    coords = np.asarray(out.coords)
+    counts = np.asarray(out.num_points)
+    voxels = np.asarray(out.voxels)
+    got = {}
+    for i in range(int(out.num_voxels)):
+        key = tuple(coords[i])
+        got[key] = voxels[i, : counts[i]]
+    assert set(got.keys()) == set(ref_vox.keys())
+    for key in ref_vox:
+        ref_pts = np.stack(ref_vox[key])
+        got_pts = got[key]
+        assert got_pts.shape == ref_pts.shape, key
+        # same point set (order within voxel = input order in both)
+        np.testing.assert_allclose(got_pts, ref_pts, atol=1e-5)
+
+
+def test_voxelize_respects_max_points():
+    # 50 identical points -> one voxel with max_points kept
+    pts = np.tile(np.array([[10.0, 0.0, -1.0, 0.5]], np.float32), (50, 1))
+    out = voxelize(jnp.asarray(pts), jnp.ones(50, bool), VS, PCR, 100, 32)
+    assert int(out.num_voxels) == 1
+    assert int(out.num_points[0]) == 32
+
+
+def test_voxelize_respects_max_voxels():
+    rng = np.random.RandomState(1)
+    pts = _rand_points(rng, 500)
+    out = voxelize(jnp.asarray(pts), jnp.ones(500, bool), VS, PCR, 10, 32)
+    assert int(out.num_voxels) <= 10
+    assert int(jnp.sum(out.coords[:, 0] >= 0)) <= 10
+
+
+def test_voxelize_masks_invalid_points():
+    pts = np.array(
+        [[10.0, 0.0, -1.0, 0.1], [10.0, 0.0, -1.0, 0.2], [200.0, 0.0, 0.0, 0.3]],
+        np.float32,
+    )
+    mask = np.array([True, False, True])  # 2nd masked, 3rd out of range
+    out = voxelize(jnp.asarray(pts), jnp.asarray(mask), VS, PCR, 10, 5)
+    assert int(out.num_voxels) == 1
+    assert int(out.num_points[0]) == 1
+
+
+def test_voxelize_batch_shapes():
+    rng = np.random.RandomState(2)
+    pts = np.stack([_rand_points(rng, 300) for _ in range(4)])
+    mask = np.ones((4, 300), bool)
+    out = voxelize_batch(jnp.asarray(pts), jnp.asarray(mask), VS, PCR, 1000, 16)
+    assert out.voxels.shape == (4, 1000, 16, 4)
+    assert out.coords.shape == (4, 1000, 3)
+    assert out.num_points.shape == (4, 1000)
+
+
+def test_decorate_features():
+    rng = np.random.RandomState(3)
+    pts = _rand_points(rng, 200)
+    out = voxelize(jnp.asarray(pts), jnp.ones(200, bool), VS, PCR, 500, 8)
+    feats = decorate_pillar_features(
+        out.voxels[None], out.num_points[None], out.coords[None], VS, PCR
+    )
+    assert feats.shape == (1, 500, 8, 10)
+    f = np.asarray(feats)[0]
+    counts = np.asarray(out.num_points)
+    # padded slots must be exactly zero
+    for v in range(500):
+        np.testing.assert_array_equal(f[v, counts[v]:], 0.0)
+    # cluster offsets sum to ~0 over the points of each pillar
+    v0 = int(np.argmax(counts))
+    c = counts[v0]
+    np.testing.assert_allclose(f[v0, :c, 4:7].sum(axis=0), 0.0, atol=1e-3)
