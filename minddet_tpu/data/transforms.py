@@ -230,3 +230,94 @@ def centernet_train_transform(
     warped = normalize(jnp.clip(warped, 0.0, 1.0))
     out_boxes = transform_boxes(boxes, affines, out_hw)
     return {"image": warped, "boxes": out_boxes, "affine": affines}
+
+
+# ---------------------------------------------------------------------------
+# Mosaic / MixUp (YOLO-family augs), fully on device
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("out_hw",))
+def mosaic(
+    rng: jax.Array,
+    images: jnp.ndarray,   # (B, H, W, 3) float
+    img_hw: jnp.ndarray,   # (B, 2)
+    boxes: jnp.ndarray,    # (B, O, 4)
+    box_mask: jnp.ndarray,  # (B, O)
+    out_hw: Tuple[int, int] = (640, 640),
+) -> Dict[str, jnp.ndarray]:
+    """4-image mosaic: sample i is composed of images (i, i+1, i+2, i+3) in
+    the four quadrants around a jittered center. Each quadrant is one affine
+    warp through the Pallas gather; boxes concatenate to (B, 4*O, 4).
+
+    Device-side replacement for the host mosaic of the YOLO references
+    (BASELINE's "mosaic+mixup aug" requirement).
+    """
+    b, o = boxes.shape[:2]
+    oh, ow = out_hw
+    r_c, = jax.random.split(rng, 1)
+    cx = jax.random.uniform(r_c, (b,), minval=0.35, maxval=0.65) * ow
+    cy = jax.random.uniform(jax.random.fold_in(r_c, 1), (b,), minval=0.35, maxval=0.65) * oh
+
+    canvas = jnp.zeros((b, oh, ow, images.shape[-1]), images.dtype)
+    all_boxes, all_mask = [], []
+    gy = jnp.arange(oh, dtype=jnp.float32)[None, :, None]
+    gx = jnp.arange(ow, dtype=jnp.float32)[None, None, :]
+    for q in range(4):
+        src_img = jnp.roll(images, -q, axis=0)
+        src_hw = jnp.roll(img_hw, -q, axis=0)
+        src_boxes = jnp.roll(boxes, -q, axis=0)
+        src_mask = jnp.roll(box_mask, -q, axis=0)
+        # quadrant rectangle [x0, x1) x [y0, y1)
+        x0 = jnp.where(q % 2 == 0, 0.0, cx)
+        x1 = jnp.where(q % 2 == 0, cx, float(ow))
+        y0 = jnp.where(q < 2, 0.0, cy)
+        y1 = jnp.where(q < 2, cy, float(oh))
+        qw = jnp.maximum(x1 - x0, 1.0)
+        qh = jnp.maximum(y1 - y0, 1.0)
+        # affine: output pixel -> source pixel (fit whole source into quadrant)
+        sx = src_hw[:, 1].astype(jnp.float32) / qw
+        sy = src_hw[:, 0].astype(jnp.float32) / qh
+        aff = jnp.zeros((b, 2, 3))
+        aff = aff.at[:, 0, 0].set(sx).at[:, 1, 1].set(sy)
+        aff = aff.at[:, 0, 2].set(-x0 * sx).at[:, 1, 2].set(-y0 * sy)
+        warped = warp_images(src_img, aff, out_hw)
+        inside = (
+            (gx >= x0[:, None, None]) & (gx < x1[:, None, None])
+            & (gy >= y0[:, None, None]) & (gy < y1[:, None, None])
+        )[..., None]
+        canvas = jnp.where(inside, warped, canvas)
+        # boxes: source -> output (inverse of aff)
+        bx = src_boxes
+        ox1 = bx[..., 0] / sx[:, None] + x0[:, None]
+        oy1 = bx[..., 1] / sy[:, None] + y0[:, None]
+        ox2 = bx[..., 2] / sx[:, None] + x0[:, None]
+        oy2 = bx[..., 3] / sy[:, None] + y0[:, None]
+        nb = jnp.stack(
+            [jnp.clip(ox1, 0, ow - 1), jnp.clip(oy1, 0, oh - 1),
+             jnp.clip(ox2, 0, ow - 1), jnp.clip(oy2, 0, oh - 1)], -1
+        )
+        degenerate = ((nb[..., 2] - nb[..., 0]) < 2) | ((nb[..., 3] - nb[..., 1]) < 2)
+        all_boxes.append(nb)
+        all_mask.append(src_mask & ~degenerate)
+    return {
+        "image": canvas,
+        "boxes": jnp.concatenate(all_boxes, axis=1),
+        "mask": jnp.concatenate(all_mask, axis=1),
+    }
+
+
+def mixup(
+    rng: jax.Array,
+    images: jnp.ndarray,
+    boxes: jnp.ndarray,
+    box_mask: jnp.ndarray,
+    alpha: float = 32.0,
+) -> Dict[str, jnp.ndarray]:
+    """Pairwise mixup with the batch rolled by one; boxes are unioned."""
+    lam = jax.random.beta(rng, alpha, alpha, (images.shape[0], 1, 1, 1))
+    mixed = images * lam + jnp.roll(images, -1, axis=0) * (1 - lam)
+    return {
+        "image": mixed,
+        "boxes": jnp.concatenate([boxes, jnp.roll(boxes, -1, axis=0)], axis=1),
+        "mask": jnp.concatenate([box_mask, jnp.roll(box_mask, -1, axis=0)], axis=1),
+    }

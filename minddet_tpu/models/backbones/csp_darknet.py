@@ -1,0 +1,137 @@
+"""CSPDarknet backbone family (YOLOv5/YOLOX style) + C2f variant (YOLOv8).
+
+Backs the README-promised YOLO zoo (reference ships none of it). NHWC Flax,
+SiLU activations, SPP(F) bottleneck on C5. Returns (C3, C4, C5) at strides
+8/16/32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from minddet_tpu.core.registry import BACKBONES
+
+
+class ConvBlock(nn.Module):
+    features: int
+    kernel: int = 3
+    strides: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel),
+            (self.strides, self.strides), padding=self.kernel // 2,
+            use_bias=False, dtype=self.dtype, name="conv",
+        )(x)
+        x = nn.BatchNorm(not train, momentum=0.97, epsilon=1e-3, dtype=self.dtype, name="bn")(x)
+        return nn.silu(x)
+
+
+class Bottleneck(nn.Module):
+    features: int
+    shortcut: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBlock(self.features, 1, dtype=self.dtype, name="c1")(x, train)
+        y = ConvBlock(self.features, 3, dtype=self.dtype, name="c2")(y, train)
+        if self.shortcut and x.shape[-1] == self.features:
+            y = y + x
+        return y
+
+
+class CSPLayer(nn.Module):
+    """Cross-stage partial block (C3 in YOLOv5 naming)."""
+
+    features: int
+    n: int = 1
+    shortcut: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = self.features // 2
+        a = ConvBlock(h, 1, dtype=self.dtype, name="main")(x, train)
+        b = ConvBlock(h, 1, dtype=self.dtype, name="skip")(x, train)
+        for i in range(self.n):
+            a = Bottleneck(h, self.shortcut, dtype=self.dtype, name=f"b{i}")(a, train)
+        return ConvBlock(self.features, 1, dtype=self.dtype, name="out")(
+            jnp.concatenate([a, b], -1), train
+        )
+
+
+class C2f(nn.Module):
+    """YOLOv8's C2f: split then dense concat of bottleneck outputs."""
+
+    features: int
+    n: int = 1
+    shortcut: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = self.features // 2
+        y = ConvBlock(2 * h, 1, dtype=self.dtype, name="in")(x, train)
+        parts = [y[..., :h], y[..., h:]]
+        for i in range(self.n):
+            parts.append(
+                Bottleneck(h, self.shortcut, dtype=self.dtype, name=f"b{i}")(parts[-1], train)
+            )
+        return ConvBlock(self.features, 1, dtype=self.dtype, name="out")(
+            jnp.concatenate(parts, -1), train
+        )
+
+
+class SPPF(nn.Module):
+    features: int
+    pool: int = 5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        h = self.features // 2
+        x = ConvBlock(h, 1, dtype=self.dtype, name="in")(x, train)
+        p = self.pool
+        y1 = nn.max_pool(x, (p, p), (1, 1), padding=[(p // 2, p // 2)] * 2)
+        y2 = nn.max_pool(y1, (p, p), (1, 1), padding=[(p // 2, p // 2)] * 2)
+        y3 = nn.max_pool(y2, (p, p), (1, 1), padding=[(p // 2, p // 2)] * 2)
+        return ConvBlock(self.features, 1, dtype=self.dtype, name="out")(
+            jnp.concatenate([x, y1, y2, y3], -1), train
+        )
+
+
+@BACKBONES.register_module()
+class CSPDarknet(nn.Module):
+    """depth/width multipliers: s = (0.33, 0.5), m = (0.67, 0.75), l = (1, 1)."""
+
+    depth_mult: float = 0.33
+    width_mult: float = 0.5
+    use_c2f: bool = False  # YOLOv8 flavor
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False) -> Tuple[jnp.ndarray, ...]:
+        def w(c):
+            return max(16, int(c * self.width_mult // 8 * 8))
+
+        def d(n):
+            return max(1, round(n * self.depth_mult))
+
+        Block = C2f if self.use_c2f else CSPLayer
+        x = ConvBlock(w(64), 3, 2, dtype=self.dtype, name="stem")(x, train)  # /2
+        x = ConvBlock(w(128), 3, 2, dtype=self.dtype, name="down1")(x, train)  # /4
+        x = Block(w(128), d(3), dtype=self.dtype, name="stage1")(x, train)
+        x = ConvBlock(w(256), 3, 2, dtype=self.dtype, name="down2")(x, train)  # /8
+        c3 = Block(w(256), d(6 if self.use_c2f else 9), dtype=self.dtype, name="stage2")(x, train)
+        x = ConvBlock(w(512), 3, 2, dtype=self.dtype, name="down3")(c3, train)  # /16
+        c4 = Block(w(512), d(6 if self.use_c2f else 9), dtype=self.dtype, name="stage3")(x, train)
+        x = ConvBlock(w(1024), 3, 2, dtype=self.dtype, name="down4")(c4, train)  # /32
+        x = Block(w(1024), d(3), dtype=self.dtype, name="stage4")(x, train)
+        c5 = SPPF(w(1024), dtype=self.dtype, name="sppf")(x, train)
+        return c3, c4, c5

@@ -79,6 +79,25 @@ class CenterNet(nn.Module):
         )
         return total, {"hm_loss": hm_loss, "wh_loss": wh_loss, "off_loss": off_loss}
 
+    def loss_from_gt(
+        self, batch: Dict[str, jnp.ndarray], train: bool = True
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Uniform-zoo interface: batch {image, gt_boxes (B,O,4 input px),
+        gt_classes, gt_mask} -> targets generated on device at stride 4."""
+        from minddet_tpu.ops.targets import centernet_targets_batch
+
+        b, h, w = batch["image"].shape[:3]
+        targets = centernet_targets_batch(
+            batch["gt_boxes"] / 4.0,
+            batch["gt_classes"],
+            batch["gt_mask"],
+            h // 4,
+            w // 4,
+            self.num_classes,
+            0.7,
+        )
+        return self.loss(batch["image"], targets, train=train)
+
     def predict(self, image: jnp.ndarray, k: int = 100) -> jnp.ndarray:
         """Fused forward + decode -> (B, K, 6) [x1,y1,x2,y2,score,class] at
         output stride. No host round trips (cf. reference eval.py:110-162)."""

@@ -218,3 +218,57 @@ def limit_period(val: jnp.ndarray, offset: float = 0.5, period: float = jnp.pi) 
     Reference: ``box_np_ops.limit_period``.
     """
     return val - jnp.floor(val / period + offset) * period
+
+
+# --------------------------------------------------------------------------
+# 2D delta box coder (R-CNN/SSD family)
+# --------------------------------------------------------------------------
+
+def encode_deltas(
+    boxes: jnp.ndarray,
+    anchors: jnp.ndarray,
+    means=(0.0, 0.0, 0.0, 0.0),
+    stds=(1.0, 1.0, 1.0, 1.0),
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """xyxy boxes vs xyxy anchors -> normalized (dx, dy, dw, dh) deltas.
+
+    The standard R-CNN coder (fills the reference's empty Faster R-CNN stack,
+    ``minddet/models/faster_rcnn.py``).
+    """
+    aw = jnp.maximum(anchors[..., 2] - anchors[..., 0], eps)
+    ah = jnp.maximum(anchors[..., 3] - anchors[..., 1], eps)
+    ax = (anchors[..., 0] + anchors[..., 2]) / 2
+    ay = (anchors[..., 1] + anchors[..., 3]) / 2
+    gw = jnp.maximum(boxes[..., 2] - boxes[..., 0], eps)
+    gh = jnp.maximum(boxes[..., 3] - boxes[..., 1], eps)
+    gx = (boxes[..., 0] + boxes[..., 2]) / 2
+    gy = (boxes[..., 1] + boxes[..., 3]) / 2
+    d = jnp.stack(
+        [(gx - ax) / aw, (gy - ay) / ah, jnp.log(gw / aw), jnp.log(gh / ah)],
+        axis=-1,
+    )
+    return (d - jnp.asarray(means)) / jnp.asarray(stds)
+
+
+def decode_deltas(
+    deltas: jnp.ndarray,
+    anchors: jnp.ndarray,
+    means=(0.0, 0.0, 0.0, 0.0),
+    stds=(1.0, 1.0, 1.0, 1.0),
+    max_wh_ratio: float = 16.0,
+) -> jnp.ndarray:
+    """Inverse of :func:`encode_deltas` with dw/dh clamping."""
+    d = deltas * jnp.asarray(stds) + jnp.asarray(means)
+    aw = anchors[..., 2] - anchors[..., 0]
+    ah = anchors[..., 3] - anchors[..., 1]
+    ax = (anchors[..., 0] + anchors[..., 2]) / 2
+    ay = (anchors[..., 1] + anchors[..., 3]) / 2
+    limit = jnp.log(max_wh_ratio)
+    gx = ax + d[..., 0] * aw
+    gy = ay + d[..., 1] * ah
+    gw = aw * jnp.exp(jnp.clip(d[..., 2], -limit, limit))
+    gh = ah * jnp.exp(jnp.clip(d[..., 3], -limit, limit))
+    return jnp.stack(
+        [gx - gw / 2, gy - gh / 2, gx + gw / 2, gy + gh / 2], axis=-1
+    )

@@ -67,7 +67,12 @@ def get_default_mesh() -> Mesh:
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
-    """Shard leading (batch) dim over data+fsdp, replicate the rest."""
+    """Shard leading (batch) dim over data+fsdp, replicate the rest.
+
+    0-d arrays (step counters, scalars) are replicated.
+    """
+    if ndim == 0:
+        return NamedSharding(mesh, P())
     batch_axes = tuple(a for a in ("data", "fsdp") if a in mesh.axis_names and mesh.shape[a] > 1)
     spec = P(batch_axes if batch_axes else None, *([None] * (ndim - 1)))
     return NamedSharding(mesh, spec)

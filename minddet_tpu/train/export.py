@@ -1,0 +1,52 @@
+"""Model export: serialize jitted inference programs (the MINDIR equivalent).
+
+The reference exports MindSpore graphs to MINDIR at fixed shapes
+(``centernet/export.py:26-60``, ``centerpoint/tools_ms/mindir.py:7-35``) and
+re-runs them with ``eval_mindir.py``. The TPU-native equivalent is
+``jax.export``: the jitted predict program is lowered to StableHLO and
+serialized; it can be reloaded and invoked without the model code.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import export as jax_export
+
+
+def export_predict_fn(
+    fn: Callable,
+    example_args: Sequence[Any],
+    path: str,
+) -> str:
+    """Lower ``fn(*example_args)`` to StableHLO and write it to ``path``.
+
+    Returns the path. Shapes are fixed at the example args' shapes, exactly
+    like the reference's fixed-shape MINDIR export.
+    """
+    exported = jax_export.export(jax.jit(fn))(*example_args)
+    blob = exported.serialize()
+    os.makedirs(os.path.dirname(os.path.abspath(path)) or ".", exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(blob)
+    return path
+
+
+def load_exported(path: str):
+    """Reload a serialized program -> callable (the eval_mindir equivalent)."""
+    with open(path, "rb") as f:
+        blob = f.read()
+    exported = jax_export.deserialize(blob)
+    return lambda *args: exported.call(*args)
+
+
+def export_detector(model, variables, example_image: jnp.ndarray, path: str, **predict_kwargs) -> str:
+    """Export a zoo detector's fused predict (forward + decode + NMS)."""
+
+    def predict(image):
+        return model.apply(variables, image, method=model.predict, **predict_kwargs)
+
+    return export_predict_fn(predict, (example_image,), path)

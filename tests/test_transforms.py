@@ -96,3 +96,38 @@ def test_normalize():
     img = jnp.zeros((1, 2, 2, 3))
     out = np.asarray(normalize(img))
     assert out.min() < 0  # zero pixels map below mean
+
+
+def test_mosaic_composes_four_images():
+    import jax
+
+    from minddet_tpu.data.transforms import mosaic
+
+    b, h, w = 4, 16, 16
+    images = np.zeros((b, h, w, 3), np.float32)
+    for i in range(b):
+        images[i] = i + 1.0  # constant-valued images 1..4
+    hw = jnp.asarray(np.tile([[h, w]], (b, 1)))
+    boxes = jnp.asarray(np.tile([[[2.0, 2.0, 10.0, 10.0]]], (b, 1, 1)))
+    mask = jnp.ones((b, 1), bool)
+    out = mosaic(jax.random.PRNGKey(0), jnp.asarray(images), hw, boxes, mask, (32, 32))
+    img = np.asarray(out["image"])
+    # sample 0's mosaic must contain values from all four source images
+    vals = set(np.unique(np.round(img[0]).astype(int))) - {0}
+    assert vals == {1, 2, 3, 4}
+    assert out["boxes"].shape == (b, 4, 4)
+    assert out["mask"].shape == (b, 4)
+
+
+def test_mixup_blends():
+    import jax
+
+    from minddet_tpu.data.transforms import mixup
+
+    images = jnp.stack([jnp.zeros((8, 8, 3)), jnp.ones((8, 8, 3))])
+    boxes = jnp.zeros((2, 2, 4))
+    mask = jnp.ones((2, 2), bool)
+    out = mixup(jax.random.PRNGKey(0), images, boxes, mask)
+    m = float(jnp.mean(out["image"][0]))
+    assert 0.1 < m < 0.9  # genuinely blended
+    assert out["boxes"].shape == (2, 4, 4)
