@@ -1,0 +1,147 @@
+"""KITTI plumbing, GT-AUG sampler, nuScenes metrics."""
+
+import numpy as np
+import pytest
+
+from minddet_tpu.data.gt_sampler import DataBaseSampler, build_gt_database
+from minddet_tpu.data.kitti import (
+    camera_to_lidar_boxes,
+    global_augment,
+    parse_calib_file,
+    parse_label_file,
+)
+from minddet_tpu.data.nuscenes_eval import evaluate_nuscenes
+from minddet_tpu.ops import host_ops
+
+
+def test_parse_label(tmp_path):
+    p = tmp_path / "000001.txt"
+    p.write_text(
+        "Car 0.00 0 -1.57 614.24 181.78 727.31 284.77 1.57 1.73 4.15 1.00 1.75 13.22 -1.62\n"
+        "DontCare -1 -1 -10 503.89 169.71 590.61 190.13 -1 -1 -1 -1000 -1000 -1000 -10\n"
+    )
+    objs = parse_label_file(str(p))
+    assert len(objs) == 2
+    assert objs[0]["name"] == "Car"
+    np.testing.assert_allclose(objs[0]["dimensions"], [4.15, 1.57, 1.73])  # l,h,w
+    assert objs[0]["rotation_y"] == -1.62
+
+
+def test_calib_and_camera_to_lidar(tmp_path):
+    p = tmp_path / "calib.txt"
+    # identity-ish calibration: velo == cam
+    p.write_text(
+        "P2: 700 0 600 0 0 700 180 0 0 0 1 0\n"
+        "R0_rect: 1 0 0 0 1 0 0 0 1\n"
+        "Tr_velo_to_cam: 1 0 0 0 0 1 0 0 0 0 1 0\n"
+    )
+    calib = parse_calib_file(str(p))
+    assert calib["P2"].shape == (3, 4)
+    objs = [{
+        "location": np.array([1.0, 2.0, 3.0], np.float32),
+        "dimensions": np.array([4.0, 1.5, 1.8], np.float32),  # l, h, w
+        "rotation_y": 0.5,
+    }]
+    boxes = camera_to_lidar_boxes(objs, calib)
+    assert boxes.shape == (1, 7)
+    np.testing.assert_allclose(boxes[0, :3], [1, 2, 3], atol=1e-5)
+    np.testing.assert_allclose(boxes[0, 3:6], [1.8, 4.0, 1.5], atol=1e-5)  # w,l,h
+    np.testing.assert_allclose(boxes[0, 6], -0.5 - np.pi / 2, atol=1e-5)
+
+
+def test_global_augment_consistency():
+    rng = np.random.RandomState(0)
+    pts = rng.randn(100, 4).astype(np.float32) * 5
+    boxes = np.array([[1.0, 2.0, -1.0, 1.6, 3.9, 1.5, 0.2]], np.float32)
+    # point exactly at box center must stay at box center
+    pts[0, :3] = boxes[0, :3]
+    p2, b2 = global_augment(rng, pts, boxes)
+    np.testing.assert_allclose(p2[0, :3], b2[0, :3], atol=1e-5)
+
+
+@pytest.mark.skipif(not host_ops.available(), reason="native lib missing")
+def test_gt_database_and_sampler():
+    rng = np.random.RandomState(0)
+
+    class FakeDS:
+        def __init__(self):
+            box = np.array([[5.0, 0.0, -1.0, 2.0, 4.0, 1.5, 0.0]], np.float32)
+            pts_in = rng.uniform(-0.8, 0.8, (50, 4)).astype(np.float32)
+            pts_in[:, 0] = pts_in[:, 0] + 5.0  # inside box
+            pts_in[:, 2] = rng.uniform(-1.0, 0.4, 50)
+            noise = rng.uniform(20, 30, (100, 4)).astype(np.float32)
+            self.records = [
+                {"points": np.concatenate([pts_in, noise]),
+                 "gt_boxes": box, "gt_classes": np.array([1], np.int32)}
+            ]
+
+        def __len__(self):
+            return 1
+
+    ds = FakeDS()
+    db = build_gt_database(ds, ["Car"], min_points=5)
+    assert len(db["Car"]) == 1
+    assert len(db["Car"][0]["points"]) >= 40  # most inside points captured
+
+    sampler = DataBaseSampler(db, {"Car": 3}, {"Car": 1})
+    scene_pts = rng.uniform(-40, 40, (500, 4)).astype(np.float32)
+    boxes, classes = np.zeros((0, 7), np.float32), np.zeros((0,), np.int32)
+    p2, b2, c2 = sampler.sample(rng, scene_pts, boxes, classes)
+    assert len(b2) >= 1  # pasted something
+    assert np.all(c2 == 1)
+    assert len(p2) > 450
+    # pasted boxes must not overlap each other
+    if len(b2) > 1:
+        bev = b2[:, [0, 1, 3, 4, 6]]
+        iou = host_ops.rotated_iou_matrix(bev, bev)
+        np.fill_diagonal(iou, 0)
+        assert iou.max() < 1e-3
+
+
+def _nusc_sample(rng, n=5, jitter=0.0):
+    boxes = np.zeros((n, 9), np.float64)
+    boxes[:, :2] = rng.uniform(-40, 40, (n, 2))
+    boxes[:, 2] = -1
+    boxes[:, 3:6] = rng.uniform(1, 4, (n, 3))
+    boxes[:, 6:8] = rng.uniform(-5, 5, (n, 2))
+    boxes[:, 8] = rng.uniform(-np.pi, np.pi, n)
+    dt = boxes.copy()
+    dt[:, :2] += jitter * rng.randn(n, 2)
+    return boxes, dt
+
+
+def test_nuscenes_perfect_detections():
+    rng = np.random.RandomState(0)
+    gts, dts = [], []
+    for _ in range(6):
+        g, d = _nusc_sample(rng)
+        gts.append({"boxes": g})
+        dts.append({"boxes": d, "scores": rng.uniform(0.5, 1, len(d))})
+    out = evaluate_nuscenes({"car": gts}, {"car": dts}, ["car"])
+    assert out["mAP"] > 0.95
+    assert out["mATE"] < 0.01
+    assert out["NDS"] > 0.85
+
+
+def test_nuscenes_jitter_hurts_ate_not_map():
+    rng = np.random.RandomState(1)
+    gts, dts = [], []
+    for _ in range(6):
+        g, d = _nusc_sample(rng, jitter=0.3)
+        gts.append({"boxes": g})
+        dts.append({"boxes": d, "scores": rng.uniform(0.5, 1, len(d))})
+    out = evaluate_nuscenes({"car": gts}, {"car": dts}, ["car"])
+    assert out["mAP"] > 0.9  # 0.3 m jitter << 2 m threshold band
+    assert out["mATE"] > 0.2
+
+
+def test_nuscenes_misses_lower_map():
+    rng = np.random.RandomState(2)
+    gts, dts = [], []
+    for i in range(6):
+        g, d = _nusc_sample(rng)
+        gts.append({"boxes": g})
+        keep = d[: len(d) // 2]
+        dts.append({"boxes": keep, "scores": rng.uniform(0.5, 1, len(keep))})
+    out = evaluate_nuscenes({"car": gts}, {"car": dts}, ["car"])
+    assert 0.2 < out["mAP"] < 0.6
