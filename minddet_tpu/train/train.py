@@ -113,6 +113,8 @@ def main(argv=None) -> None:
                    help="train on synthetic data (smoke runs / perf)")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--workdir", default="runs/default")
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace (XPlane/Perfetto) of the run")
     args = p.parse_args(argv)
 
     if int(os.environ.get("MINDDET_NUM_PROCESSES", "1")) > 1:
@@ -169,7 +171,10 @@ def main(argv=None) -> None:
         checkpoint_manager=ckpt,
         log_every=int(tcfg.get("log_every", 50)),
     )
-    trainer.fit(batches, num_steps=steps, batch_size=batch_size)
+    from minddet_tpu.core.metrics import profiler_trace
+
+    with profiler_trace(os.path.join(args.workdir, "trace") if args.profile else None):
+        trainer.fit(batches, num_steps=steps, batch_size=batch_size)
     logger.info("done: %d steps", steps)
 
 
