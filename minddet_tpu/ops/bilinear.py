@@ -43,27 +43,50 @@ def _pad_to(v: int, m: int) -> int:
 # Kernels
 # ---------------------------------------------------------------------------
 
-def _fwd_kernel(ci_ref, cw_ref, x_ref, out_ref):
-    """Grid (B, P_tiles). Blocks: ci/cw (1, TP, 4), x (1, HW, C), out (1, TP, C)."""
+_CHUNK = 512  # source-row chunk for sparse skipping
+
+
+def _fwd_kernel(hit_ref, ci_ref, cw_ref, x_ref, out_ref):
+    """Grid (B, P_tiles). Blocks: hit (1, PT, NC) SMEM (full bitmap for the
+    batch element, read at program_id), ci/cw (1, TP, 4), x (1, HW, C),
+    out (1, TP, C).
+
+    Sampled indices cluster (DCN offsets are local; ROI bins are compact), so
+    the (TP, HW) selection matrix is block-sparse in column chunks. The hit
+    bitmap is computed outside; chunks with no hits skip both the one-hot
+    build (VPU) and the matmul (MXU).
+    """
     tp = out_ref.shape[1]
     hw = x_ref.shape[1]
-    qcols = jax.lax.broadcasted_iota(jnp.int32, (tp, hw), 1)
-    acc = jnp.zeros((tp, hw), jnp.bfloat16)
-    for c in range(4):
-        ci = ci_ref[0][:, c : c + 1]  # (TP, 1)
-        cw = cw_ref[0][:, c : c + 1]
-        acc += (qcols == ci).astype(jnp.bfloat16) * cw.astype(jnp.bfloat16)
-    out_ref[0] = jnp.dot(
-        acc, x_ref[0].astype(jnp.bfloat16), preferred_element_type=jnp.float32
-    ).astype(out_ref.dtype)
+    n_chunks = hit_ref.shape[2]
+    chunk = hw // n_chunks
+    p_tile = pl.program_id(1)
+    out_ref[0] = jnp.zeros_like(out_ref[0])
+    for cki in range(n_chunks):
+        @pl.when(hit_ref[0, p_tile, cki] > 0)
+        def _(cki=cki):
+            qcols = (
+                jax.lax.broadcasted_iota(jnp.int32, (tp, chunk), 1) + cki * chunk
+            )
+            acc = jnp.zeros((tp, chunk), jnp.bfloat16)
+            for c in range(4):
+                ci = ci_ref[0][:, c : c + 1]  # (TP, 1)
+                cw = cw_ref[0][:, c : c + 1]
+                acc += (qcols == ci).astype(jnp.bfloat16) * cw.astype(jnp.bfloat16)
+            out_ref[0] += jnp.dot(
+                acc,
+                x_ref[0][cki * chunk : (cki + 1) * chunk].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            ).astype(out_ref.dtype)
 
 
-def _bwd_dx_kernel(ci_t_ref, cw_t_ref, g_ref, dx_ref):
+def _bwd_dx_kernel(hit_ref, ci_t_ref, cw_t_ref, g_ref, dx_ref):
     """dx[q] += sum_p A[p, q] * g[p]  (transpose scatter).
 
     Grid (B, Q_tiles, P_tiles), innermost p accumulates into the dx block.
-    Blocks: ci_t/cw_t (1, 4, TPp) — corner data transposed so rows broadcast
-    along lanes; g (1, TPp, C); dx (1, TQ, C) f32.
+    Blocks: hit (1, PT, NC) SMEM (tile TQ == source chunk, so the fwd
+    bitmap applies directly); ci_t/cw_t (1, 4, TPp) transposed corner data;
+    g (1, TPp, C); dx (1, TQ, C) f32.
     """
     tq = dx_ref.shape[1]
     tpp = g_ref.shape[1]
@@ -74,45 +97,82 @@ def _bwd_dx_kernel(ci_t_ref, cw_t_ref, g_ref, dx_ref):
         dx_ref[0] = jnp.zeros_like(dx_ref[0])
 
     q_tile = pl.program_id(1)
-    q0 = q_tile * tq
-    qrows = jax.lax.broadcasted_iota(jnp.int32, (tq, tpp), 0) + q0
-    at = jnp.zeros((tq, tpp), jnp.bfloat16)
-    for c in range(4):
-        ci = ci_t_ref[0][c : c + 1, :]  # (1, TPp)
-        cw = cw_t_ref[0][c : c + 1, :]
-        at += (qrows == ci).astype(jnp.bfloat16) * cw.astype(jnp.bfloat16)
-    dx_ref[0] += jnp.dot(
-        at, g_ref[0].astype(jnp.bfloat16), preferred_element_type=jnp.float32
-    )
+
+    @pl.when(hit_ref[0, p_tile, q_tile] > 0)
+    def _():
+        q0 = q_tile * tq
+        qrows = jax.lax.broadcasted_iota(jnp.int32, (tq, tpp), 0) + q0
+        at = jnp.zeros((tq, tpp), jnp.bfloat16)
+        for c in range(4):
+            ci = ci_t_ref[0][c : c + 1, :]  # (1, TPp)
+            cw = cw_t_ref[0][c : c + 1, :]
+            at += (qrows == ci).astype(jnp.bfloat16) * cw.astype(jnp.bfloat16)
+        dx_ref[0] += jnp.dot(
+            at, g_ref[0].astype(jnp.bfloat16), preferred_element_type=jnp.float32
+        )
 
 
-def _bwd_dcw_kernel(ci_ref, g_ref, xt_ref, dcw_ref):
+def _bwd_dcw_kernel(hit_ref, ci_ref, g_ref, xt_ref, dcw_ref):
     """dcw[p, c] = dot(g[p], x[ci[p, c]]).
 
-    Grid (B, P_tiles). Blocks: ci (1, TP, 4); g (1, TP, C); xt (1, C, HW)
-    (feature map pre-transposed); dcw (1, TP, 4) f32.
-    M = g @ x^T gives every <g[p], x[q]> pair; corner selection is a masked
-    row-reduction of M.
+    Grid (B, P_tiles). Blocks: hit (1,1,NC) SMEM; ci (1, TP, 4);
+    g (1, TP, C); xt (1, C, HW) (feature map pre-transposed); dcw (1, TP, 4)
+    f32. M = g @ x^T gives every <g[p], x[q]> pair; corner selection is a
+    masked row-reduction of M — computed per hit chunk only (each ci lies in
+    exactly one chunk, so the chunked accumulation is exact).
     """
     tp = g_ref.shape[1]
     hw = xt_ref.shape[2]
-    m = jnp.dot(
-        g_ref[0].astype(jnp.bfloat16),
-        xt_ref[0].astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )  # (TP, HW)
-    qcols = jax.lax.broadcasted_iota(jnp.int32, (tp, hw), 1)
-    outs = []
-    for c in range(4):
-        ci = ci_ref[0][:, c : c + 1]
-        sel = jnp.where(qcols == ci, m, 0.0)
-        outs.append(jnp.sum(sel, axis=1, keepdims=True))  # (TP, 1)
-    dcw_ref[0] = jnp.concatenate(outs, axis=1)
+    n_chunks = hit_ref.shape[2]
+    chunk = hw // n_chunks
+    p_tile = pl.program_id(1)
+    dcw_ref[0] = jnp.zeros_like(dcw_ref[0])
+    for cki in range(n_chunks):
+        @pl.when(hit_ref[0, p_tile, cki] > 0)
+        def _(cki=cki):
+            m = jnp.dot(
+                g_ref[0].astype(jnp.bfloat16),
+                xt_ref[0][:, cki * chunk : (cki + 1) * chunk].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )  # (TP, chunk)
+            qcols = (
+                jax.lax.broadcasted_iota(jnp.int32, (tp, chunk), 1) + cki * chunk
+            )
+            outs = []
+            for c in range(4):
+                ci = ci_ref[0][:, c : c + 1]
+                sel = jnp.where(qcols == ci, m, 0.0)
+                outs.append(jnp.sum(sel, axis=1, keepdims=True))  # (TP, 1)
+            dcw_ref[0] += jnp.concatenate(outs, axis=1)
 
 
 # ---------------------------------------------------------------------------
 # pallas_call wrappers
 # ---------------------------------------------------------------------------
+
+def _chunk_count(hw: int) -> int:
+    return hw // _CHUNK if (hw % _CHUNK == 0 and hw > _CHUNK) else 1
+
+
+def _hit_bitmap(ci, pp, tp, hw):
+    """(B, P_tiles, NC) int32: does tile pt touch source chunk c.
+
+    Conservative range form: chunks between the tile's min and max sampled
+    chunk are all marked (exact for the local/contiguous index patterns of
+    DCN and ROIAlign, and only ever a superset otherwise) — two reductions
+    instead of a (B, PT, TP*4, NC) one-hot.
+    """
+    b = ci.shape[0]
+    nc = _chunk_count(hw)
+    chunk = hw // nc
+    tiles = ci.reshape(b, pp // tp, tp * ci.shape[-1])
+    ck_lo = jnp.where(tiles >= 0, tiles // chunk, nc + 1)
+    ck_hi = jnp.where(tiles >= 0, tiles // chunk, -1)
+    lo = jnp.min(ck_lo, axis=2, keepdims=True)  # (B, PT, 1)
+    hi = jnp.max(ck_hi, axis=2, keepdims=True)
+    rng = jnp.arange(nc, dtype=jnp.int32)
+    return ((rng >= lo) & (rng <= hi)).astype(jnp.int32)
+
 
 def _fwd_pallas(ci, cw, x, interpret=False):
     b, p, _ = ci.shape
@@ -122,10 +182,13 @@ def _fwd_pallas(ci, cw, x, interpret=False):
     if pp != p:
         ci = jnp.pad(ci, ((0, 0), (0, pp - p), (0, 0)), constant_values=-1)
         cw = jnp.pad(cw, ((0, 0), (0, pp - p), (0, 0)))
+    nc = _chunk_count(hw)
+    hit = _hit_bitmap(ci, pp, tp, hw)
     out = pl.pallas_call(
         _fwd_kernel,
         grid=(b, pp // tp),
         in_specs=[
+            pl.BlockSpec((1, pp // tp, nc), lambda bi, pi: (bi, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tp, 4), lambda bi, pi: (bi, pi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tp, 4), lambda bi, pi: (bi, pi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, hw, ch), lambda bi, pi: (bi, 0, 0), memory_space=pltpu.VMEM),
@@ -139,7 +202,7 @@ def _fwd_pallas(ci, cw, x, interpret=False):
             flops=2 * b * pp * hw * ch, bytes_accessed=b * (hw * ch + pp * ch) * 2,
             transcendentals=0,
         ),
-    )(ci, cw, x)
+    )(hit, ci, cw, x)
     return out[:, :p]
 
 
@@ -148,17 +211,20 @@ def _bwd_dx_pallas(ci, cw, g, hw, interpret=False):
     ch = g.shape[-1]
     tpp = min(_TILE_P, _pad_to(p, 128))
     pp = _pad_to(p, tpp)
-    tq = min(512, hw)
+    nc = _chunk_count(hw)
+    tq = hw // nc  # q-tile == source chunk so the fwd bitmap applies
     if pp != p:
         ci = jnp.pad(ci, ((0, 0), (0, pp - p), (0, 0)), constant_values=-1)
         cw = jnp.pad(cw, ((0, 0), (0, pp - p), (0, 0)))
         g = jnp.pad(g, ((0, 0), (0, pp - p), (0, 0)))
+    hit = _hit_bitmap(ci, pp, tpp, hw)
     ci_t = jnp.swapaxes(ci, 1, 2)  # (B, 4, P)
     cw_t = jnp.swapaxes(cw, 1, 2)
     dx = pl.pallas_call(
         _bwd_dx_kernel,
-        grid=(b, hw // tq, pp // tpp),
+        grid=(b, nc, pp // tpp),
         in_specs=[
+            pl.BlockSpec((1, pp // tpp, nc), lambda bi, qi, pi: (bi, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 4, tpp), lambda bi, qi, pi: (bi, 0, pi), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, tpp), lambda bi, qi, pi: (bi, 0, pi), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tpp, ch), lambda bi, qi, pi: (bi, pi, 0), memory_space=pltpu.VMEM),
@@ -172,7 +238,7 @@ def _bwd_dx_pallas(ci, cw, g, hw, interpret=False):
             flops=2 * b * pp * hw * ch, bytes_accessed=b * (hw * ch * 4 + pp * ch * 2),
             transcendentals=0,
         ),
-    )(ci_t, cw_t, g)
+    )(hit, ci_t, cw_t, g)
     return dx
 
 
@@ -184,11 +250,14 @@ def _bwd_dcw_pallas(ci, g, x, interpret=False):
     if pp != p:
         ci = jnp.pad(ci, ((0, 0), (0, pp - p), (0, 0)), constant_values=-1)
         g = jnp.pad(g, ((0, 0), (0, pp - p), (0, 0)))
+    nc = _chunk_count(hw)
+    hit = _hit_bitmap(ci, pp, tp, hw)
     xt = jnp.swapaxes(x, 1, 2)  # (B, C, HW)
     dcw = pl.pallas_call(
         _bwd_dcw_kernel,
         grid=(b, pp // tp),
         in_specs=[
+            pl.BlockSpec((1, pp // tp, nc), lambda bi, pi: (bi, 0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((1, tp, 4), lambda bi, pi: (bi, pi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tp, ch), lambda bi, pi: (bi, pi, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, ch, hw), lambda bi, pi: (bi, 0, 0), memory_space=pltpu.VMEM),
@@ -202,7 +271,7 @@ def _bwd_dcw_pallas(ci, g, x, interpret=False):
             flops=2 * b * pp * hw * ch, bytes_accessed=b * (hw * ch + pp * ch) * 2,
             transcendentals=0,
         ),
-    )(ci, g, xt)
+    )(hit, ci, g, xt)
     return dcw[:, :p]
 
 

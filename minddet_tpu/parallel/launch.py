@@ -1,0 +1,54 @@
+"""Multi-host launch helpers.
+
+The reference needs 600+ lines of launch machinery: rank-table JSON generated
+from ``/etc/hccn.conf`` (``hccl_tools.py``), per-device process spawning with
+CPU pinning (``get_distribute_train_cmd.py:74-190``), and mpirun scripts. On
+TPU pods none of that exists: every host runs the same ``python train.py``,
+``jax.distributed.initialize()`` discovers the topology, and data sharding
+comes from ``process_index``. This module is the whole launch layer.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Dict[str, int]:
+    """Initialize multi-host JAX if needed; no-op on single host.
+
+    On TPU pods all arguments are discovered automatically; on CPU/GPU
+    test rigs they come from the standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+    Returns a summary dict for logging.
+    """
+    want_multi = (
+        num_processes
+        or coordinator_address
+        or os.environ.get("JAX_NUM_PROCESSES")
+        or os.environ.get("MINDDET_NUM_PROCESSES")
+    )
+    if want_multi and jax.process_count() == 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    return {
+        "process_index": jax.process_index(),
+        "process_count": jax.process_count(),
+        "local_devices": jax.local_device_count(),
+        "global_devices": jax.device_count(),
+    }
+
+
+def is_main_process() -> bool:
+    """Checkpoint/log gating (the reference's rank-0 checks,
+    ``centernet/train.py:176-186``)."""
+    return jax.process_index() == 0

@@ -46,16 +46,15 @@ def coco_evaluate(model, variables, records: str, image_hw, num_classes: int,
         aff = eval_affine(hw, image_hw)
         warped = warp_images(images, aff, tuple(image_hw))
         out = predict(warped)
-        boxes = np.asarray(out["boxes"], np.float64)
-        # CenterNet decodes at stride 4 in output-res units
-        if boxes.shape[-1] == 6:  # (B, K, 6) centernet layout
-            det = boxes
+        if isinstance(out, dict):
+            boxes = np.asarray(out["boxes"], np.float64)
+            scores = np.asarray(out["scores"], np.float64)
+            labels = np.asarray(out["labels"], np.int64)
+        else:  # CenterNet layout: (B, K, 6) at output stride 4
+            det = np.asarray(out, np.float64)
             boxes = det[..., :4] * 4.0
             scores = det[..., 4]
             labels = det[..., 5].astype(np.int64)
-        else:
-            scores = np.asarray(out["scores"], np.float64)
-            labels = np.asarray(out["labels"], np.int64)
         # map back to original pixels with the forward affine
         fwd = np.asarray(aff)  # output->input, exactly what we need
         for bi, ex in enumerate(exs):

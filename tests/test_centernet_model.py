@@ -9,6 +9,8 @@ from minddet_tpu.models.detectors.centernet import CenterNet
 from minddet_tpu.ops.dcn import deform_conv2d
 from minddet_tpu.ops.targets import centernet_targets_batch
 
+pytestmark = pytest.mark.slow  # full-model suites; deselect with -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def small_model():

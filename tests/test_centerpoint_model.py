@@ -9,6 +9,8 @@ from minddet_tpu.models.detectors.centerpoint import CenterPoint
 from minddet_tpu.ops.targets import centerpoint_targets_batch
 from minddet_tpu.ops.voxelize import voxelize_batch
 
+pytestmark = pytest.mark.slow  # full-model suites; deselect with -m 'not slow'
+
 VS = (0.4, 0.4, 8.0)
 PCR = (-6.4, -6.4, -5.0, 6.4, 6.4, 3.0)  # 32x32 grid
 NY = NX = 32

@@ -16,6 +16,8 @@ from minddet_tpu.ops.anchors2d import (
 from minddet_tpu.ops.box import decode_deltas, encode_deltas
 from minddet_tpu.ops.roi_align import multilevel_roi_align, roi_align
 
+pytestmark = pytest.mark.slow  # full-model suites; deselect with -m 'not slow'
+
 
 def test_delta_coder_roundtrip():
     rng = np.random.RandomState(0)

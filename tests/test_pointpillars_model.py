@@ -14,6 +14,8 @@ from minddet_tpu.models.detectors.pointpillars import (
 from minddet_tpu.ops.anchors import assign_targets_batch, create_anchors_3d_stride
 from minddet_tpu.ops.voxelize import voxelize_batch
 
+pytestmark = pytest.mark.slow  # full-model suites; deselect with -m 'not slow'
+
 VS = (0.2, 0.2, 4.0)
 PCR = (0.0, -3.2, -3.0, 6.4, 3.2, 1.0)  # tiny 32x32 grid
 NY = NX = 32
