@@ -23,15 +23,17 @@ class BasicBlock(nn.Module):
     features: int
     strides: int = 1
     dcn: bool = False
+    dilation: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         residual = x
+        d = self.dilation
         y = nn.Conv(
-            self.features, (3, 3), (self.strides, self.strides), padding=1,
-            use_bias=False, dtype=self.dtype, kernel_init=nn.initializers.he_normal(),
-            name="conv1",
+            self.features, (3, 3), (self.strides, self.strides), padding=d,
+            kernel_dilation=(d, d), use_bias=False, dtype=self.dtype,
+            kernel_init=nn.initializers.he_normal(), name="conv1",
         )(x)
         y = nn.BatchNorm(not train, momentum=0.9, dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
@@ -39,7 +41,8 @@ class BasicBlock(nn.Module):
             y = ModulatedDeformConv(self.features, dtype=self.dtype, name="conv2")(y)
         else:
             y = nn.Conv(
-                self.features, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+                self.features, (3, 3), padding=d, kernel_dilation=(d, d),
+                use_bias=False, dtype=self.dtype,
                 kernel_init=nn.initializers.he_normal(), name="conv2",
             )(y)
         y = nn.BatchNorm(not train, momentum=0.9, dtype=self.dtype, name="bn2")(y)
@@ -59,6 +62,7 @@ class Bottleneck(nn.Module):
     features: int  # bottleneck width; output is 4x
     strides: int = 1
     dcn: bool = False
+    dilation: int = 1
     dtype: Dtype = jnp.float32
     expansion: int = 4
 
@@ -73,9 +77,11 @@ class Bottleneck(nn.Module):
                 self.features, stride=self.strides, dtype=self.dtype, name="conv2"
             )(y)
         else:
+            d = self.dilation
             y = nn.Conv(
-                self.features, (3, 3), (self.strides, self.strides), padding=1,
-                use_bias=False, dtype=self.dtype, name="conv2",
+                self.features, (3, 3), (self.strides, self.strides), padding=d,
+                kernel_dilation=(d, d), use_bias=False, dtype=self.dtype,
+                name="conv2",
             )(y)
         y = nn.BatchNorm(not train, momentum=0.9, dtype=self.dtype, name="bn2")(y)
         y = nn.relu(y)
@@ -114,6 +120,7 @@ class ResNet(nn.Module):
 
     depth: int = 18
     dcn_stages: Sequence[bool] = (False, False, False, False)
+    output_stride: int = 32  # 16 or 8 dilate the last stage(s) (DeepLab)
     dtype: Dtype = jnp.float32
     stem_width: int = 64
 
@@ -130,13 +137,20 @@ class ResNet(nn.Module):
 
         outputs = []
         widths = (64, 128, 256, 512)
+        # stages whose stride-2 is replaced by dilation (DeepLab-style)
+        n_dilated = {32: 0, 16: 1, 8: 2}[self.output_stride]
+        dilation = 1
         for stage, (width, n_blocks) in enumerate(zip(widths, layers)):
+            dilate = stage >= 4 - n_dilated and stage > 0
+            if dilate:
+                dilation *= 2
             for i in range(n_blocks):
-                strides = 2 if (stage > 0 and i == 0) else 1
+                strides = 2 if (stage > 0 and i == 0 and not dilate) else 1
                 x = block_cls(
                     width,
                     strides=strides,
                     dcn=self.dcn_stages[stage],
+                    dilation=dilation,
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_{i}",
                 )(x, train=train)

@@ -57,14 +57,16 @@ class DeepLabV3Plus(nn.Module):
     num_classes: int = 21
     depth: int = 101
     aspp_features: int = 256
+    output_stride: int = 16  # dilated backbone (ASPP sees /16 features)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, image: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         ih, iw = image.shape[1:3]
-        c2, _, _, c5 = ResNet(depth=self.depth, dtype=self.dtype, name="backbone")(
-            image.astype(self.dtype), train=train
-        )
+        c2, _, _, c5 = ResNet(
+            depth=self.depth, output_stride=self.output_stride,
+            dtype=self.dtype, name="backbone",
+        )(image.astype(self.dtype), train=train)
         x = ASPP(self.aspp_features, dtype=self.dtype, name="aspp")(c5, train=train)
         x = _resize(x, c2.shape[1:3])
         low = nn.Conv(48, (1, 1), use_bias=False, dtype=self.dtype, name="low_proj")(c2)
