@@ -110,3 +110,24 @@ def build_optimizer(cfg, learning_rate: ScalarOrSchedule) -> optax.GradientTrans
     nan_guard = cfg.pop("nan_guard", True)
     tx = OPTIMIZERS.build(cfg)
     return skip_nonfinite_updates(tx) if nan_guard else tx
+
+
+def with_ema(
+    tx: optax.GradientTransformation, decay: float = 0.9998
+) -> optax.GradientTransformation:
+    """Track an exponential moving average of the parameters (YOLO recipes).
+
+    The EMA weights live in the optimizer state; fetch them for eval with
+    :func:`get_ema_params`.
+    """
+    return optax.chain(tx, optax.ema(decay=decay, debias=True))
+
+
+def get_ema_params(opt_state):
+    """Extract EMA parameters from a `with_ema` optimizer state (or None)."""
+    for s in jax.tree_util.tree_leaves(
+        opt_state, is_leaf=lambda x: isinstance(x, optax.EmaState)
+    ):
+        if isinstance(s, optax.EmaState):
+            return s.ema
+    return None

@@ -158,3 +158,83 @@ def convert_resnet_backbone(state_dict: Dict[str, Any]) -> Dict[str, Dict]:
     """torchvision resnet state_dict -> ResNet backbone variables."""
     sd = {k: v for k, v in state_dict.items() if not k.startswith("fc.")}
     return convert_state_dict(sd, RESNET_RULES)
+
+
+# ---------------------------------------------------------------------------
+# CenterNet (xingyizhou/CenterNet resnet(18|50)_dcn) -> minddet_tpu CenterNet
+# ---------------------------------------------------------------------------
+
+# torch module path -> our flax scope path (leaf handling is automatic)
+CENTERNET_RULES: List[Tuple[str, str]] = [
+    # backbone (msra_resnet naming, sometimes prefixed "backbone.")
+    (r"^(backbone\.)?layer(\d+)\.(\d+)\.downsample\.0", r"backbone.layer\2_\3.downsample_conv"),
+    (r"^(backbone\.)?layer(\d+)\.(\d+)\.downsample\.1", r"backbone.layer\2_\3.downsample_bn"),
+    (r"^(backbone\.)?layer(\d+)\.(\d+)\.", r"backbone.layer\2_\3."),
+    (r"^(backbone\.)?conv1$", "backbone.conv1"),
+    (r"^(backbone\.)?bn1$", "backbone.bn1"),
+    # deconv neck: groups of 6 (DCN, BN, ReLU, ConvTranspose, BN, ReLU)
+    (r"^deconv_layers\.0\.conv_offset_mask", "neck.deconv0.dcn.conv_offset"),
+    (r"^deconv_layers\.0$", "neck.deconv0.dcn"),
+    (r"^deconv_layers\.1$", "neck.deconv0.BatchNorm_0"),
+    (r"^deconv_layers\.3$", "neck.deconv0.up"),
+    (r"^deconv_layers\.4$", "neck.deconv0.BatchNorm_1"),
+    (r"^deconv_layers\.6\.conv_offset_mask", "neck.deconv1.dcn.conv_offset"),
+    (r"^deconv_layers\.6$", "neck.deconv1.dcn"),
+    (r"^deconv_layers\.7$", "neck.deconv1.BatchNorm_0"),
+    (r"^deconv_layers\.9$", "neck.deconv1.up"),
+    (r"^deconv_layers\.10$", "neck.deconv1.BatchNorm_1"),
+    (r"^deconv_layers\.12\.conv_offset_mask", "neck.deconv2.dcn.conv_offset"),
+    (r"^deconv_layers\.12$", "neck.deconv2.dcn"),
+    (r"^deconv_layers\.13$", "neck.deconv2.BatchNorm_0"),
+    (r"^deconv_layers\.15$", "neck.deconv2.up"),
+    (r"^deconv_layers\.16$", "neck.deconv2.BatchNorm_1"),
+    # heads: Sequential(conv3x3, ReLU, conv1x1)
+    (r"^hm\.0$", "head.hm.conv"),
+    (r"^hm\.2$", "head.hm.out"),
+    (r"^wh\.0$", "head.wh.conv"),
+    (r"^wh\.2$", "head.wh.out"),
+    (r"^reg\.0$", "head.reg.conv"),
+    (r"^reg\.2$", "head.reg.out"),
+    # backbone DCN offset convs (torch DCNv2 naming)
+    (r"conv_offset_mask$", "conv_offset"),
+]
+
+
+def permute_dcn_offset_channels(arr: np.ndarray, k: int = 9) -> np.ndarray:
+    """Reorder DCNv2 ``conv_offset_mask`` output channels to our layout.
+
+    torch DCNv2 emits [y_0..y_{k-1}, x_0..x_{k-1}, m_0..m_{k-1}] (chunked —
+    see the reference's ops.chunk in centernet/src/resnet.py:80); our
+    ``ModulatedDeformConv`` expects interleaved per-tap pairs
+    [y_0, x_0, y_1, x_1, ..., m_0..m_{k-1}]. Works on the conv weight's
+    output-channel axis (last in HWIO) or a bias vector.
+    """
+    perm = []
+    for t in range(k):
+        perm.extend([t, k + t])
+    perm.extend(range(2 * k, 3 * k))
+    perm = np.asarray(perm)
+    if arr.ndim == 1:
+        return arr[perm]
+    return arr[..., perm]  # HWIO: output channels last
+
+
+def convert_centernet(state_dict: Dict[str, Any]) -> Dict[str, Dict]:
+    """Full CenterNet torch checkpoint -> flax variables (params+batch_stats).
+
+    The per-model counterpart of the reference's ``centernet/convert_ckpt.py``
+    (which maps names via hand-maintained text files). Handles the DCN
+    offset-channel permutation; transposed convs keep HWIO like normal convs
+    after the standard transpose (flax ConvTranspose uses HWIO too).
+    """
+    out = convert_state_dict(state_dict, CENTERNET_RULES)
+
+    def walk(tree, path=()):
+        for key, v in list(tree.items()):
+            if isinstance(v, dict):
+                walk(v, path + (key,))
+            elif "conv_offset" in path:
+                tree[key] = permute_dcn_offset_channels(v)
+
+    walk(out["params"])
+    return out
