@@ -37,14 +37,18 @@ def category_mapping(categories: List[Dict]) -> Dict[int, int]:
 
 
 def coco_examples(
-    ann_file: str, image_dir: str, skip_empty: bool = True
+    ann_file: str, image_dir: str, skip_empty: bool = True,
+    with_masks: bool = False,
 ) -> Iterator[Dict[str, Any]]:
-    """Yield record dicts: jpeg bytes, hw, boxes xyxy, labels, iscrowd, id."""
+    """Yield record dicts: jpeg bytes, hw, boxes xyxy, labels, iscrowd, id
+    (+ JSON-encoded polygon segmentations when with_masks)."""
+    import json as _json
+
     images, by_img, categories = load_coco_json(ann_file)
     cat_map = category_mapping(categories)
     for img in images:
         anns = by_img.get(img["id"], [])
-        boxes, labels, crowd = [], [], []
+        boxes, labels, crowd, segs = [], [], [], []
         for a in anns:
             x, y, w, h = a["bbox"]
             if w <= 0 or h <= 0:
@@ -52,12 +56,14 @@ def coco_examples(
             boxes.append([x, y, x + w, y + h])
             labels.append(cat_map[a["category_id"]])
             crowd.append(a.get("iscrowd", 0))
+            if with_masks:
+                segs.append(a.get("segmentation", []))
         if skip_empty and not boxes:
             continue
         path = os.path.join(image_dir, img["file_name"])
         with open(path, "rb") as f:
             jpeg = f.read()
-        yield {
+        ex = {
             "jpeg": jpeg,
             "hw": np.array([img["height"], img["width"]], np.int32),
             "boxes": np.asarray(boxes, np.float32).reshape(-1, 4),
@@ -65,13 +71,20 @@ def coco_examples(
             "iscrowd": np.asarray(crowd, np.int32),
             "image_id": np.asarray(img["id"], np.int64),
         }
+        if with_masks:
+            ex["segmentations"] = _json.dumps(segs).encode()
+        yield ex
 
 
 def convert_coco_to_records(
-    ann_file: str, image_dir: str, out_prefix: str, shard_size: int = 4096
+    ann_file: str, image_dir: str, out_prefix: str, shard_size: int = 4096,
+    with_masks: bool = False,
 ) -> List[str]:
     """Offline materialization (the transfer_coco_to_mindrecord equivalent)."""
-    return write_records(out_prefix, coco_examples(ann_file, image_dir), shard_size)
+    return write_records(
+        out_prefix, coco_examples(ann_file, image_dir, with_masks=with_masks),
+        shard_size,
+    )
 
 
 def _decode_jpeg(data: bytes) -> np.ndarray:
@@ -173,3 +186,58 @@ def evaluate_coco_detections(
                 rec["iscrowd"][gm].astype(bool),
             )
     return ev.summarize()
+
+
+def rasterize_polygons(
+    segmentation, height: int, width: int
+) -> np.ndarray:
+    """COCO polygon segmentation -> (H, W) uint8 bitmap (host-side, cv2).
+
+    Replaces pycocotools' maskUtils.frPyObjects/decode for the polygon case;
+    RLE segmentations (crowd regions) are decoded with a small pure-python
+    RLE reader.
+    """
+    import cv2
+
+    mask = np.zeros((height, width), np.uint8)
+    if isinstance(segmentation, dict):  # uncompressed RLE {counts, size}
+        counts = segmentation["counts"]
+        h, w = segmentation["size"]
+        if isinstance(counts, list):  # uncompressed
+            flat = np.zeros(h * w, np.uint8)
+            pos, val = 0, 0
+            for run in counts:
+                if val:
+                    flat[pos : pos + run] = 1
+                pos += run
+                val ^= 1
+            mask = flat.reshape(w, h).T  # RLE is column-major
+            if (h, w) != (height, width):
+                mask = cv2.resize(mask, (width, height), interpolation=cv2.INTER_NEAREST)
+        return mask
+    for poly in segmentation:
+        pts = np.asarray(poly, np.float64).reshape(-1, 2)
+        cv2.fillPoly(mask, [np.round(pts).astype(np.int32)], 1)
+    return mask
+
+
+def example_gt_bitmaps(rec: Dict[str, Any], max_objs: int, hw) -> np.ndarray:
+    """Per-object GT bitmaps (H, W, max_objs) for Mask R-CNN training.
+
+    Requires records written with convert_coco_to_records(..., with_masks=True).
+    """
+    h, w = hw
+    out = np.zeros((h, w, max_objs), np.float32)
+    segs = rec.get("segmentations")
+    if segs is None:
+        return out
+    import json as _json
+
+    seg_list = _json.loads(segs.decode() if isinstance(segs, bytes) else segs)
+    ih, iw = int(rec["hw"][0]), int(rec["hw"][1])
+    for i, seg in enumerate(seg_list[:max_objs]):
+        if not seg:
+            continue
+        m = rasterize_polygons(seg, ih, iw)
+        out[:ih, :iw, i] = m[: min(ih, h), : min(iw, w)]
+    return out

@@ -70,11 +70,20 @@ def synthetic_detection_batches(
         }
 
 
-def coco_batches(cfg, batch_size: int, image_hw, seed: int = 0):
-    """Record-backed COCO pipeline: host decode -> device fused augmentation."""
+def coco_batches(cfg, batch_size: int, image_hw, seed: int = 0, aug: str = "affine"):
+    """Record-backed COCO pipeline: host decode -> device fused augmentation.
+
+    ``aug``: "affine" (CenterNet-style scale/shift/flip/color) or "mosaic"
+    (YOLO-style 4-image mosaic + mixup; quadruples the padded box count).
+    """
     from minddet_tpu.data.coco import CocoDetection
     from minddet_tpu.data.loader import DataLoader, DistributedSampler
-    from minddet_tpu.data.transforms import centernet_train_transform
+    from minddet_tpu.data.transforms import (
+        centernet_train_transform,
+        mixup,
+        mosaic,
+        normalize,
+    )
 
     ds = CocoDetection(cfg.data.records, max_objs=cfg.data.get("max_objs", 128))
     sampler = DistributedSampler(
@@ -87,16 +96,38 @@ def coco_batches(cfg, batch_size: int, image_hw, seed: int = 0):
     step = 0
     for raw in loader:
         key_i = jax.random.fold_in(key, step)
-        out = centernet_train_transform(
-            key_i, jnp.asarray(raw["image"]), jnp.asarray(raw["hw"]),
-            jnp.asarray(raw["boxes"]), tuple(image_hw),
-        )
-        yield {
-            "image": out["image"],
-            "gt_boxes": out["boxes"],
-            "gt_classes": jnp.asarray(raw["labels"]),
-            "gt_mask": jnp.asarray(raw["mask"]),
-        }
+        if aug == "mosaic":
+            k1, k2 = jax.random.split(key_i)
+            m = mosaic(
+                k1, jnp.asarray(raw["image"]) / 255.0, jnp.asarray(raw["hw"]),
+                jnp.asarray(raw["boxes"]), jnp.asarray(raw["mask"]),
+                tuple(image_hw),
+            )
+            labels4 = jnp.concatenate(
+                [jnp.roll(jnp.asarray(raw["labels"]), -q, axis=0) for q in range(4)],
+                axis=1,
+            )
+            mx = mixup(k2, m["image"], m["boxes"], m["mask"])
+            labels8 = jnp.concatenate([labels4, jnp.roll(labels4, -1, axis=0)], axis=1)
+            yield {
+                "image": normalize(mx["image"]),
+                "gt_boxes": mx["boxes"],
+                "gt_classes": labels8,
+                "gt_mask": mx["mask"],
+                "step": np.asarray(step, np.int32),
+            }
+        else:
+            out = centernet_train_transform(
+                key_i, jnp.asarray(raw["image"]), jnp.asarray(raw["hw"]),
+                jnp.asarray(raw["boxes"]), tuple(image_hw),
+            )
+            yield {
+                "image": out["image"],
+                "gt_boxes": out["boxes"],
+                "gt_classes": jnp.asarray(raw["labels"]),
+                "gt_mask": jnp.asarray(raw["mask"]),
+                "step": np.asarray(step, np.int32),
+            }
         step += 1
 
 
@@ -138,7 +169,9 @@ def main(argv=None) -> None:
     if args.synthetic or "data" not in cfg:
         batches = synthetic_detection_batches(batch_size, image_hw, num_classes)
     else:
-        batches = coco_batches(cfg, batch_size, image_hw)
+        batches = coco_batches(
+            cfg, batch_size, image_hw, aug=tcfg.get("aug", "affine")
+        )
 
     sample = next(iter(batches))
     rngs = {"params": jax.random.PRNGKey(0), "sampling": jax.random.PRNGKey(1)}

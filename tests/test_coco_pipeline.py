@@ -82,3 +82,71 @@ def test_eval_cli_path(tmp_path):
     )
     assert {"AP", "AP50", "AP75", "AR@100"} <= set(stats)
     assert all(np.isfinite(v) for v in stats.values())
+
+
+def test_rasterize_polygons():
+    from minddet_tpu.data.coco import rasterize_polygons
+
+    # square polygon 10..20
+    m = rasterize_polygons([[10, 10, 20, 10, 20, 20, 10, 20]], 32, 32)
+    assert m.shape == (32, 32)
+    assert m[15, 15] == 1 and m[5, 5] == 0
+    assert 80 < m.sum() < 160  # ~11x11 filled
+
+    # uncompressed RLE (column-major): 4x4, first column set
+    rle = {"counts": [0, 4, 12], "size": [4, 4]}
+    m2 = rasterize_polygons(rle, 4, 4)
+    np.testing.assert_array_equal(m2[:, 0], 1)
+    assert m2[:, 1:].sum() == 0
+
+
+def test_mask_records_roundtrip(tmp_path):
+    import json as _json
+
+    from minddet_tpu.data.coco import (
+        CocoDetection,
+        convert_coco_to_records,
+        example_gt_bitmaps,
+    )
+
+    ann, imgs = _make_coco(tmp_path)
+    # add polygon segs to the annotation file
+    d = _json.loads((tmp_path / "instances.json").read_text())
+    for a in d["annotations"]:
+        x, y, w, h = a["bbox"]
+        a["segmentation"] = [[x, y, x + w, y, x + w, y + h, x, y + h]]
+    (tmp_path / "instances.json").write_text(_json.dumps(d))
+
+    convert_coco_to_records(ann, imgs, str(tmp_path / "m"), with_masks=True)
+    ds = CocoDetection(str(tmp_path / "m-*.arrayrecord"), max_hw=(128, 128), max_objs=8)
+    rec = ds.records[0]
+    assert "segmentations" in rec
+    bitmaps = example_gt_bitmaps(rec, 8, (128, 128))
+    assert bitmaps.shape == (128, 128, 8)
+    # first object's bitmap area ~ its box area
+    b = rec["boxes"][0]
+    area = (b[2] - b[0]) * (b[3] - b[1])
+    assert abs(bitmaps[..., 0].sum() - area) / area < 0.3
+
+
+def test_coco_batches_mosaic_path(tmp_path):
+    """The YOLO mosaic+mixup data path produces consistent batch shapes."""
+    from minddet_tpu.core.config import Config
+    from minddet_tpu.train.train import coco_batches
+
+    ann, imgs = _make_coco(tmp_path)
+    from minddet_tpu.data.coco import convert_coco_to_records
+
+    convert_coco_to_records(ann, imgs, str(tmp_path / "rec"))
+    cfg = Config.fromdict(
+        {"data": {"records": str(tmp_path / "rec-*.arrayrecord"),
+                  "max_objs": 8, "workers": 1}}
+    )
+    batch = next(iter(coco_batches(cfg, 4, (64, 64), aug="mosaic")))
+    assert batch["image"].shape == (4, 64, 64, 3)
+    assert batch["gt_boxes"].shape == (4, 64, 4)   # 8 objs x 4 mosaic x 2 mixup
+    assert batch["gt_classes"].shape == (4, 64)
+    assert batch["gt_mask"].shape == (4, 64)
+    import numpy as _np
+
+    assert _np.asarray(batch["gt_mask"]).sum() > 0
