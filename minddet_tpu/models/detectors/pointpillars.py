@@ -199,6 +199,8 @@ class PointPillars(nn.Module):
         """
         preds = self(voxels, num_points, coords, train=False)
         scores_all = jax.nn.sigmoid(preds["cls_preds"])  # (B, A, C)
+        nms_pre = min(nms_pre, scores_all.shape[1])
+        nms_post = min(nms_post, nms_pre)
         top_scores = jnp.max(scores_all, axis=-1)
         top_labels = jnp.argmax(scores_all, axis=-1)
         if anchors_mask is not None:

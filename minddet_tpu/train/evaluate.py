@@ -103,5 +103,95 @@ def main(argv=None) -> None:
         logger.info("%s: %.4f", k, v)
 
 
+def kitti_evaluate(
+    model,
+    variables,
+    records: str,
+    anchors,
+    voxel_size,
+    pc_range,
+    max_voxels: int = 16000,
+    max_points: int = 32,
+    classes=("Car",),
+    batch_size: int = 4,
+    max_frames: int = 0,
+    score_threshold: float = 0.3,
+) -> Dict[str, Dict]:
+    """PointPillars -> official KITTI AP (bbox skipped: no camera projection
+    for synthetic records; reports bev + 3d, the LiDAR-native metrics).
+
+    The device side is one fused program: voxelize + forward + decode +
+    rotated NMS (the reference splits this across host numba, device graph,
+    and a CPU custom op).
+    """
+    import jax.numpy as jnp
+
+    from minddet_tpu.data.kitti import KittiDetection
+    from minddet_tpu.data.kitti_eval import get_official_eval_result
+    from minddet_tpu.ops.voxelize import voxelize_batch
+
+    ds = KittiDetection(records)
+    n = len(ds)
+    if max_frames:
+        n = min(n, max_frames)
+    n -= n % batch_size
+
+    @jax.jit
+    def predict(points, mask):
+        vox = voxelize_batch(
+            points, mask, tuple(voxel_size), tuple(pc_range), max_voxels, max_points
+        )
+        return model.apply(
+            variables, vox.voxels, vox.num_points, vox.coords, jnp.asarray(anchors),
+            method=model.predict,
+        )
+
+    def to_kitti_anno(boxes7, scores, labels):
+        """lidar boxes -> KITTI-eval anno dict (camera-frame identity calib)."""
+        keep = scores > score_threshold
+        b = boxes7[keep]
+        # camera frame: x=-y_l, y=-z_l(top), z=x_l ; dims l,h,w ; ry=-yaw-pi/2
+        loc = np.stack([-b[:, 1], -(b[:, 2] + b[:, 5]), b[:, 0]], -1)
+        dims = np.stack([b[:, 4], b[:, 5], b[:, 3]], -1)  # l, h, w
+        ry = -b[:, 6] - np.pi / 2
+        name = np.asarray([classes[int(l)] if 0 <= l < len(classes) else "Car"
+                           for l in labels[keep]])
+        return {
+            "name": name,
+            "bbox": np.tile([0.0, 0.0, 200.0, 200.0], (len(b), 1)),
+            "location": loc.astype(np.float32),
+            "dimensions": dims.astype(np.float32),
+            "rotation_y": ry.astype(np.float32),
+            "alpha": np.zeros(len(b), np.float32),
+            "occluded": np.zeros(len(b), np.int64),
+            "truncated": np.zeros(len(b), np.float32),
+            "score": scores[keep].astype(np.float32),
+        }
+
+    gt_annos, dt_annos = [], []
+    for start in range(0, n, batch_size):
+        exs = [ds[i] for i in range(start, start + batch_size)]
+        pts = jnp.asarray(np.stack([e["points"] for e in exs]))
+        msk = jnp.asarray(np.stack([e["points_mask"] for e in exs]))
+        out = predict(pts, msk)
+        for bi, ex in enumerate(exs):
+            gm = ex["gt_mask"]
+            g = ex["gt_boxes"][gm]
+            gc = ex["gt_classes"][gm]
+            gt = to_kitti_anno(g, np.full(len(g), 2.0), gc - 1)
+            gt.pop("score")
+            gt_annos.append(gt)
+            dt_annos.append(
+                to_kitti_anno(
+                    np.asarray(out["boxes"][bi]),
+                    np.asarray(out["scores"][bi]),
+                    np.asarray(out["labels"][bi]),
+                )
+            )
+    return get_official_eval_result(
+        gt_annos, dt_annos, classes=classes, metrics=("bev", "3d")
+    )
+
+
 if __name__ == "__main__":
     main()

@@ -145,3 +145,49 @@ def test_nuscenes_misses_lower_map():
         dts.append({"boxes": keep, "scores": rng.uniform(0.5, 1, len(keep))})
     out = evaluate_nuscenes({"car": gts}, {"car": dts}, ["car"])
     assert 0.2 < out["mAP"] < 0.6
+
+
+@pytest.mark.slow
+def test_kitti_eval_cli_path(tmp_path):
+    """Full PointPillars -> KITTI-AP plumbing on synthetic records (untrained
+    model; asserts protocol table structure + finiteness, not accuracy)."""
+    import jax
+    import jax.numpy as jnp
+
+    from minddet_tpu.data.records import write_records
+    from minddet_tpu.models.detectors.pointpillars import PointPillars
+    from minddet_tpu.ops.anchors import create_anchors_3d_stride
+    from minddet_tpu.train.evaluate import kitti_evaluate
+
+    rng = np.random.RandomState(0)
+    VS, PCR = (0.2, 0.2, 4.0), (0.0, -3.2, -3.0, 6.4, 3.2, 1.0)
+    exs = []
+    for _ in range(4):
+        pts = np.stack([rng.uniform(0.2, 6.2, 500), rng.uniform(-3, 3, 500),
+                        rng.uniform(-2.5, 0.5, 500), rng.uniform(0, 1, 500)], -1)
+        exs.append({
+            "points": pts.astype(np.float32),
+            "gt_boxes": np.array([[3.0, 0.0, -1.8, 1.6, 3.9, 1.56, 0.1]], np.float32),
+            "gt_classes": np.array([1], np.int32),
+        })
+    write_records(str(tmp_path / "kitti"), exs)
+
+    model = PointPillars(num_classes=1, grid_ny=32, grid_nx=32,
+                         voxel_size=VS, pc_range=PCR,
+                         rpn_filters=(32, 64, 128), rpn_up_filters=(32, 32, 32))
+    anchors = create_anchors_3d_stride(
+        (16, 16), anchor_strides=(0.4, 0.4, 0.0), anchor_offsets=(0.2, -3.0, -1.78)
+    ).reshape(-1, 7)
+    from minddet_tpu.ops.voxelize import voxelize_batch
+
+    pts0 = np.zeros((1, 20000, 4), np.float32)
+    vox = voxelize_batch(jnp.asarray(pts0), jnp.ones((1, 20000), bool), VS, PCR, 256, 8)
+    variables = model.init(jax.random.PRNGKey(0), vox.voxels, vox.num_points, vox.coords)
+
+    table = kitti_evaluate(
+        model, variables, str(tmp_path / "kitti-*.arrayrecord"), anchors,
+        VS, PCR, max_voxels=256, max_points=8, score_threshold=0.0,
+    )
+    assert set(table["Car"].keys()) == {"bev", "3d"}
+    for v in table["Car"].values():
+        assert len(v) == 3 and all(np.isfinite(x) for x in v)
