@@ -123,11 +123,8 @@ class Trainer:
         log_every: int = 50,
     ):
         self.mesh = mesh if mesh is not None else get_default_mesh()
-        self.state = jax.device_put(
-            state, jax.tree_util.tree_map(lambda _: None, None)
-        ) if False else state
         # place params/opt-state on the mesh (replicated or fsdp-sharded)
-        self.state = self.state.replace(
+        self.state = state.replace(
             params=shard_params(self.mesh, self.state.params),
             batch_stats=shard_params(self.mesh, self.state.batch_stats),
             opt_state=jax.tree_util.tree_map(
