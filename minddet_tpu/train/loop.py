@@ -125,13 +125,13 @@ class Trainer:
         self.mesh = mesh if mesh is not None else get_default_mesh()
         # place params/opt-state on the mesh (replicated or fsdp-sharded)
         self.state = state.replace(
-            params=shard_params(self.mesh, self.state.params),
-            batch_stats=shard_params(self.mesh, self.state.batch_stats),
+            params=shard_params(self.mesh, state.params),
+            batch_stats=shard_params(self.mesh, state.batch_stats),
             opt_state=jax.tree_util.tree_map(
                 lambda x: shard_params(self.mesh, x)
                 if hasattr(x, "shape")
                 else x,
-                self.state.opt_state,
+                state.opt_state,
             ),
         )
         self.train_step = train_step
