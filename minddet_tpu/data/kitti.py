@@ -129,12 +129,104 @@ def create_kitti_records(
     return write_records(out_prefix, kitti_examples(root, ids, classes))
 
 
+def noise_per_object(
+    rng: np.random.RandomState,
+    boxes: np.ndarray,
+    points: np.ndarray,
+    valid_mask: Optional[np.ndarray] = None,
+    rotation_perturb=(-np.pi / 20, np.pi / 20),
+    center_noise_std=(0.25, 0.25, 0.25),
+    num_try: int = 100,
+) -> tuple:
+    """Per-object pose perturbation with collision rejection.
+
+    Counterpart of the reference's ``noise_per_object``
+    (``pointpillars/src/core/preprocess.py:560-668``; car recipe per
+    ``configs/car_xyres16.yaml:19-23``: yaw ±0.157 rad, loc std 0.25 m,
+    group/global-rot variants disabled). For each valid GT box, ``num_try``
+    candidate (rotation about the box center, translation) perturbations are
+    drawn; the first whose noised BEV footprint does not intersect any other
+    box (earlier boxes at their already-noised pose) is applied to the box
+    and to the points inside it. The collision test is a batched rotated-IoU
+    matrix via the native host ops instead of the reference's numba
+    corner-intersection scan.
+
+    Returns (points, boxes) copies; inputs are not mutated.
+    """
+    boxes = np.array(boxes, np.float32, copy=True)
+    points = np.array(points, np.float32, copy=True)
+    n = len(boxes)
+    if n == 0 or len(points) == 0:
+        return points, boxes
+    if valid_mask is None:
+        valid_mask = np.ones(n, bool)
+    from minddet_tpu.ops import host_ops
+
+    loc_noises = rng.normal(
+        scale=center_noise_std, size=(n, num_try, 3)
+    ).astype(np.float32)
+    rot_noises = rng.uniform(
+        rotation_perturb[0], rotation_perturb[1], size=(n, num_try)
+    ).astype(np.float32)
+
+    bev = boxes[:, [0, 1, 3, 4, 6]].copy()  # working copy, updated on accept
+    sel_loc = np.zeros((n, 3), np.float32)
+    sel_rot = np.zeros((n,), np.float32)
+    applied = np.zeros(n, bool)
+    for i in range(n):
+        if not valid_mask[i]:
+            continue
+        cand = np.tile(bev[i], (num_try, 1))
+        cand[:, :2] += loc_noises[i, :, :2]
+        cand[:, 4] += rot_noises[i]
+        iou = host_ops.rotated_iou_matrix(cand, bev)  # (num_try, n)
+        iou[:, i] = 0.0
+        ok = iou.max(axis=1) <= 0.0
+        j = int(np.argmax(ok))
+        if not ok[j]:
+            continue  # every candidate collides: leave this box unperturbed
+        sel_loc[i], sel_rot[i] = loc_noises[i, j], rot_noises[i, j]
+        applied[i] = True
+        bev[i] = cand[j]
+
+    if not applied.any():
+        return points, boxes
+    # move the points inside each ORIGINAL box with it (first-box-wins,
+    # like the reference's points_transform_ break-after-first)
+    orig_bev = boxes[:, [0, 1, 3, 4, 6]]
+    inside = host_ops.points_in_rboxes(points[:, :2], orig_bev)
+    zok = (points[:, 2:3] >= boxes[None, :, 2]) & (
+        points[:, 2:3] <= boxes[None, :, 2] + boxes[None, :, 5]
+    )
+    inside = inside & zok & applied[None, :]
+    has_owner = inside.any(axis=1)
+    owner = np.argmax(inside, axis=1)
+    for i in np.nonzero(applied)[0]:
+        pm = has_owner & (owner == i)
+        if not pm.any():
+            continue
+        c, s = np.cos(sel_rot[i]), np.sin(sel_rot[i])
+        rel = points[pm, :2] - boxes[i, :2]
+        points[pm, 0] = c * rel[:, 0] - s * rel[:, 1] + boxes[i, 0]
+        points[pm, 1] = s * rel[:, 0] + c * rel[:, 1] + boxes[i, 1]
+        points[pm, :3] += sel_loc[i]
+    boxes[applied, :3] += sel_loc[applied]
+    boxes[applied, 6] += sel_rot[applied]
+    return points, boxes
+
+
 @DATASETS.register_module()
 class KittiDetection:
     """Record-backed KITTI dataset -> fixed-shape host examples.
 
     Each example: points (max_points, 4) padded + mask, gt_boxes (max_gt, 7),
     gt_classes, gt_mask. The fused device step voxelizes + assigns targets.
+
+    With ``gt_sampler`` + ``object_noise`` + ``augment`` set, ``__getitem__``
+    runs the full reference training recipe in order (``prep_pointcloud``,
+    ``pointpillars/src/data/preprocess.py:97-170``): DB-sample -> per-object
+    noise -> global flip/rotate/scale/translate. Voxelize + anchor-mask +
+    assign stay on device.
     """
 
     def __init__(
@@ -144,6 +236,7 @@ class KittiDetection:
         max_gt: int = 40,
         gt_sampler=None,
         augment: bool = False,
+        object_noise: Optional[Dict[str, Any]] = None,
         seed: int = 0,
     ):
         self.records = RecordDataset(record_pattern)
@@ -151,6 +244,7 @@ class KittiDetection:
         self.max_gt = max_gt
         self.gt_sampler = gt_sampler
         self.augment = augment
+        self.object_noise = object_noise
         self._rng = np.random.RandomState(seed)
 
     def __len__(self) -> int:
@@ -164,6 +258,10 @@ class KittiDetection:
         if self.gt_sampler is not None:
             points, boxes, classes = self.gt_sampler.sample(
                 self._rng, points, boxes, classes
+            )
+        if self.object_noise is not None:
+            points, boxes = noise_per_object(
+                self._rng, boxes, points, **self.object_noise
             )
         if self.augment:
             points, boxes = global_augment(self._rng, points, boxes)
@@ -195,9 +293,11 @@ def global_augment(
     rot_range=(-np.pi / 4, np.pi / 4),
     scale_range=(0.95, 1.05),
     flip_prob: float = 0.5,
+    translate_std=(0.2, 0.2, 0.2),
 ) -> tuple:
-    """Global flip/rotate/scale of scene + boxes (reference prep_pointcloud's
-    global aug stage, pointpillars/src/data/preprocess.py:12-251)."""
+    """Global flip/rotate/scale/translate of scene + boxes (reference
+    prep_pointcloud's global aug stage, incl. ``global_translate``;
+    pointpillars/src/data/preprocess.py:153-160)."""
     points = points.copy()
     boxes = boxes.copy() if len(boxes) else boxes
     if rng.rand() < flip_prob:  # flip over x axis (y -> -y)
@@ -216,4 +316,8 @@ def global_augment(
     points[:, :3] *= sc
     if len(boxes):
         boxes[:, :6] *= sc
+    t = rng.normal(scale=translate_std, size=3).astype(np.float32)
+    points[:, :3] += t
+    if len(boxes):
+        boxes[:, :3] += t
     return points, boxes

@@ -29,9 +29,15 @@ from minddet_tpu.models.readers.pillar_encoder import (
     PillarFeatureNet,
     PointPillarsScatter,
 )
-from minddet_tpu.ops.box import limit_period, second_box_decode
+from minddet_tpu.ops.anchors import (
+    ClassAnchorConfig,
+    anchors_bev_area_mask,
+    assign_targets_batch,
+    generate_anchors,
+)
+from minddet_tpu.ops.box import limit_period, rbbox_to_near_bbox, second_box_decode
 from minddet_tpu.ops.nms import rotated_nms
-from minddet_tpu.ops.voxelize import decorate_pillar_features
+from minddet_tpu.ops.voxelize import decorate_pillar_features, voxelize_batch
 
 
 def add_sin_difference(preds: jnp.ndarray, targets: jnp.ndarray):
@@ -93,6 +99,16 @@ class PointPillars(nn.Module):
     focal_gamma: float = 2.0
     focal_alpha: float = 0.25
     smooth_l1_sigma: float = 3.0
+    # anchor spec, one row per class (car_xyres16.yaml:115-131); drives the
+    # on-device voxelize + anchor-mask + assign path of ``loss_from_gt``
+    anchor_sizes: Sequence[Tuple[float, float, float]] = ((1.6, 3.9, 1.56),)
+    anchor_strides: Sequence[Tuple[float, float, float]] = ((0.32, 0.32, 0.0),)
+    anchor_offsets: Sequence[Tuple[float, float, float]] = ((0.16, -39.52, -1.78),)
+    matched_thresholds: Sequence[float] = (0.6,)
+    unmatched_thresholds: Sequence[float] = (0.45,)
+    max_voxels: int = 16000
+    max_points_per_voxel: int = 32
+    anchor_area_threshold: float = 1.0
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -136,6 +152,68 @@ class PointPillars(nn.Module):
         if self.use_direction_classifier:
             out["dir_preds"] = self.conv_dir(x).reshape(b, -1, 2).astype(jnp.float32)
         return out
+
+    def anchor_set(self) -> Dict[str, jnp.ndarray]:
+        """Static per-config anchor grid + thresholds at the RPN output
+        stride (out_size_factor = layer_strides[0] // upsample_strides[0],
+        reference dataset_builder.py:38-41)."""
+        factor = self.rpn_strides[0] // self.rpn_up_strides[0]
+        feature_size = (self.grid_ny // factor, self.grid_nx // factor)
+        configs = [
+            ClassAnchorConfig(
+                name=str(i), sizes=tuple(s), strides=tuple(st),
+                offsets=tuple(off), matched_threshold=mt,
+                unmatched_threshold=ut,
+            )
+            for i, (s, st, off, mt, ut) in enumerate(
+                zip(self.anchor_sizes, self.anchor_strides,
+                    self.anchor_offsets, self.matched_thresholds,
+                    self.unmatched_thresholds)
+            )
+        ]
+        gen = generate_anchors(feature_size, configs)
+        return {k: jnp.asarray(v) for k, v in gen.items()}
+
+    def loss_from_gt(
+        self, batch: Dict[str, jnp.ndarray], train: bool = True
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        """Raw-points batch -> loss: device voxelize + BEV-occupancy anchor
+        mask + IoU target assignment fused into the jitted train step (the
+        reference runs all three per-sample in host numba,
+        ``prep_pointcloud`` preprocess.py:176-248).
+
+        batch: points (B, N, 4) padded, points_mask (B, N), gt_boxes
+        (B, G, 7), gt_classes (B, G) 1-based, gt_mask (B, G).
+        """
+        vox = voxelize_batch(
+            batch["points"], batch["points_mask"], tuple(self.voxel_size),
+            tuple(self.pc_range), self.max_voxels, self.max_points_per_voxel,
+        )
+        gen = self.anchor_set()
+        anchors = gen["anchors"]
+        anchors_bv = rbbox_to_near_bbox(anchors[:, [0, 1, 3, 4, 6]])
+        amask = jax.vmap(
+            lambda c: anchors_bev_area_mask(
+                c, anchors_bv, (self.grid_ny, self.grid_nx),
+                self.voxel_size, self.pc_range, self.anchor_area_threshold,
+            )
+        )(vox.coords)
+        t = assign_targets_batch(
+            anchors, batch["gt_boxes"], batch["gt_classes"],
+            batch["gt_mask"], gen["matched_threshold"],
+            gen["unmatched_threshold"], amask,
+        )
+        return self.loss(
+            {
+                "voxels": vox.voxels,
+                "num_points": vox.num_points,
+                "coords": vox.coords,
+                "anchors": anchors,
+                "labels": t["labels"],
+                "reg_targets": t["bbox_targets"],
+            },
+            train=train,
+        )
 
     def loss(
         self, batch: Dict[str, jnp.ndarray], train: bool = True
@@ -232,3 +310,32 @@ class PointPillars(nn.Module):
             preds["box_preds"], dir_preds, top_scores, top_labels
         )
         return {"boxes": boxes, "scores": scores, "labels": labels}
+
+    def predict_from_points(
+        self,
+        points: jnp.ndarray,
+        points_mask: jnp.ndarray,
+        score_threshold: float = 0.09,
+        nms_pre: int = 900,
+        nms_post: int = 300,
+        nms_iou: float = 0.1,
+    ) -> Dict[str, jnp.ndarray]:
+        """Raw padded points -> detections: the whole inference program
+        (voxelize + PFN + RPN + decode + rotated NMS) as ONE device function,
+        using the module's own anchor spec and BEV-occupancy anchor mask."""
+        vox = voxelize_batch(
+            points, points_mask, tuple(self.voxel_size), tuple(self.pc_range),
+            self.max_voxels, self.max_points_per_voxel,
+        )
+        gen = self.anchor_set()
+        anchors_bv = rbbox_to_near_bbox(gen["anchors"][:, [0, 1, 3, 4, 6]])
+        amask = jax.vmap(
+            lambda c: anchors_bev_area_mask(
+                c, anchors_bv, (self.grid_ny, self.grid_nx),
+                self.voxel_size, self.pc_range, self.anchor_area_threshold,
+            )
+        )(vox.coords)
+        return self.predict(
+            vox.voxels, vox.num_points, vox.coords, gen["anchors"], amask,
+            score_threshold, nms_pre, nms_post, nms_iou,
+        )

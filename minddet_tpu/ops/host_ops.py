@@ -6,7 +6,10 @@ tooling (offline data prep, CPU eval fallback) — the runtime counterpart of
 the reference's ``nms_fast.so`` CPU custom op, and an independent golden
 implementation the Pallas/XLA device kernels are validated against in tests.
 
-Auto-builds with ``make -C native`` on first use if the .so is missing.
+Auto-builds with ``make -C native`` on first use if the .so is missing or
+older than its source (the binary is never committed — a foreign-arch
+``-march=native`` build could SIGILL, and a stale one would silently ignore
+source edits, poisoning the golden cross-validation).
 """
 
 from __future__ import annotations
@@ -21,14 +24,25 @@ import numpy as np
 _LIB: Optional[ctypes.CDLL] = None
 _NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
 _SO_PATH = os.path.join(_NATIVE_DIR, "libminddet_host_ops.so")
+_SRC_PATH = os.path.join(_NATIVE_DIR, "src", "host_ops.cpp")
+
+
+def _needs_build() -> bool:
+    if not os.path.exists(_SO_PATH):
+        return True
+    try:
+        return os.path.getmtime(_SRC_PATH) > os.path.getmtime(_SO_PATH)
+    except OSError:
+        return False
 
 
 def _load() -> ctypes.CDLL:
     global _LIB
     if _LIB is not None:
         return _LIB
-    if not os.path.exists(_SO_PATH):
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+    if _needs_build():
+        subprocess.run(["make", "-C", _NATIVE_DIR, "-B"], check=True,
+                       capture_output=True)
     lib = ctypes.CDLL(_SO_PATH)
     f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")

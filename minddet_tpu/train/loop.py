@@ -121,6 +121,9 @@ class Trainer:
         metric_writer: Optional[MetricWriter] = None,
         checkpoint_manager=None,
         log_every: int = 50,
+        save_every: int = 1000,
+        eval_fn: Optional[Callable[[TrainState], Dict[str, float]]] = None,
+        eval_every: int = 0,
     ):
         self.mesh = mesh if mesh is not None else get_default_mesh()
         # place params/opt-state on the mesh (replicated or fsdp-sharded)
@@ -138,33 +141,51 @@ class Trainer:
         self.writer = metric_writer or MetricWriter()
         self.ckpt = checkpoint_manager
         self.log_every = log_every
+        self.save_every = max(1, save_every)
+        self.eval_fn = eval_fn
+        self.eval_every = eval_every
         self.timer = StepTimer()
+
+    def _save(self, step: int, force: bool = False) -> None:
+        self.ckpt.save(step, flax.serialization.to_state_dict(
+            {"params": self.state.params,
+             "batch_stats": self.state.batch_stats,
+             "opt_state": self.state.opt_state,
+             "step": self.state.step}
+        ), force=force)
 
     def fit(
         self,
         batches: Iterable[Dict],
         num_steps: Optional[int] = None,
         batch_size: Optional[int] = None,
+        start_step: int = 0,
     ) -> TrainState:
+        # A host-side counter mirrors state.step: int(self.state.step) would
+        # force a device->host sync every iteration, defeating async dispatch.
+        step = start_step
         for i, batch in enumerate(batches):
             if num_steps is not None and i >= num_steps:
                 break
             batch = shard_batch(self.mesh, batch)
             self.state, metrics = self.train_step(self.state, batch)
             self.timer.tick()
-            step = int(self.state.step)
-            if step % self.log_every == 0 or (num_steps and i == num_steps - 1):
+            step += 1
+            last = num_steps is not None and i == num_steps - 1
+            if step % self.log_every == 0 or last:
                 metrics = {k: float(v) for k, v in metrics.items()}
                 if batch_size:
                     metrics["img_per_sec"] = self.timer.throughput(batch_size)
                 self.writer.write(step, metrics)
-            if self.ckpt is not None:
-                self.ckpt.save(step, flax.serialization.to_state_dict(
-                    {"params": self.state.params,
-                     "batch_stats": self.state.batch_stats,
-                     "opt_state": self.state.opt_state,
-                     "step": self.state.step}
-                ))
+            if self.eval_fn is not None and self.eval_every and (
+                step % self.eval_every == 0 or last
+            ):
+                self.writer.write(step, {f"eval/{k}": float(v) for k, v in
+                                         self.eval_fn(self.state).items()})
+            # serialize (to_state_dict walks the full tree) only at the save
+            # interval — orbax gates the write anyway, the host work was waste
+            if self.ckpt is not None and (step % self.save_every == 0 or last):
+                self._save(step, force=last)
         if self.ckpt is not None:
             self.ckpt.wait()
         return self.state

@@ -131,6 +131,97 @@ def coco_batches(cfg, batch_size: int, image_hw, seed: int = 0, aug: str = "affi
         step += 1
 
 
+def synthetic_points_batches(
+    batch_size: int, pc_range, num_points: int = 12000, max_gt: int = 12,
+    num_classes: int = 1, seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Random point clouds + lidar boxes in the uniform 3D batch layout."""
+    rng = np.random.RandomState(seed)
+    x0, y0, z0, x1, y1, z1 = pc_range
+    step = 0
+    while True:
+        step += 1
+        pts = np.stack(
+            [rng.uniform(x0, x1, (batch_size, num_points)),
+             rng.uniform(y0, y1, (batch_size, num_points)),
+             rng.uniform(z0, z1, (batch_size, num_points)),
+             rng.uniform(0, 1, (batch_size, num_points))], -1,
+        ).astype(np.float32)
+        n = rng.randint(1, max_gt, batch_size)
+        boxes = np.zeros((batch_size, max_gt, 7), np.float32)
+        mask = np.zeros((batch_size, max_gt), bool)
+        for i in range(batch_size):
+            c = rng.uniform([x0 + 5, y0 + 5], [x1 - 5, y1 - 5], (n[i], 2))
+            boxes[i, : n[i]] = np.concatenate(
+                [c, np.full((n[i], 1), z0 + 1.2),
+                 np.tile([1.6, 3.9, 1.56], (n[i], 1)),
+                 rng.uniform(-np.pi, np.pi, (n[i], 1))], -1,
+            )
+            mask[i, : n[i]] = True
+        yield {
+            "points": pts,
+            "points_mask": np.ones((batch_size, num_points), bool),
+            "gt_boxes": boxes,
+            "gt_classes": rng.randint(
+                1, num_classes + 1, (batch_size, max_gt)
+            ).astype(np.int32),
+            "gt_mask": mask,
+            "step": np.asarray(step, np.int32),
+        }
+
+
+def kitti_batches(cfg, batch_size: int, seed: int = 0):
+    """Full KITTI training recipe, host side: records -> GT-database paste ->
+    per-object noise -> global flip/rot/scale/translate. Voxelize +
+    anchor-mask + target assignment run on device inside the jitted step
+    (``PointPillars.loss_from_gt``). Mirrors ``prep_pointcloud``
+    (pointpillars/src/data/preprocess.py:12-251) with the numba stages
+    replaced by native host ops + XLA.
+    """
+    from minddet_tpu.data.gt_sampler import (
+        DataBaseSampler,
+        build_gt_database,
+        load_database,
+    )
+    from minddet_tpu.data.kitti import KittiDetection
+    from minddet_tpu.data.loader import DataLoader, DistributedSampler
+
+    dcfg = cfg.data
+    classes = tuple(dcfg.get("classes", ("Car",)))
+    class_ids = {c: i + 1 for i, c in enumerate(classes)}
+    sampler_obj = None
+    scfg = dcfg.get("gt_sampler", None)
+    if scfg:
+        path = scfg.get("database", None)
+        if path and os.path.exists(path):
+            db = load_database(path)
+        else:  # build from the train records (create_gt_database equivalent)
+            db = build_gt_database(KittiDetection(dcfg.records), classes)
+        sampler_obj = DataBaseSampler(
+            db, {str(k): int(v) for k, v in dict(scfg.get(
+                "max_per_class", {"Car": 15})).items()}, class_ids,
+        )
+    noise = dcfg.get("object_noise", {})
+    ds = KittiDetection(
+        dcfg.records,
+        max_points=int(dcfg.get("max_points", 20000)),
+        max_gt=int(dcfg.get("max_gt", 40)),
+        gt_sampler=sampler_obj,
+        augment=bool(dcfg.get("augment", True)),
+        object_noise=dict(noise) if noise is not None else None,
+        seed=seed,
+    )
+    sampler = DistributedSampler(
+        len(ds), num_shards=jax.process_count(), shard_id=jax.process_index(),
+        seed=seed,
+    )
+    loader = DataLoader(ds, batch_size, sampler=sampler,
+                        num_workers=dcfg.get("workers", 4))
+    for step, raw in enumerate(loader):
+        raw["step"] = np.asarray(step, np.int32)
+        yield raw
+
+
 def loss_method_for(model) -> Any:
     """Uniform loss entry: prefer ``loss_from_gt`` (CenterNet) else ``loss``."""
     return getattr(model, "loss_from_gt", None) or model.loss
@@ -144,6 +235,8 @@ def main(argv=None) -> None:
                    help="train on synthetic data (smoke runs / perf)")
     p.add_argument("--steps", type=int, default=None)
     p.add_argument("--workdir", default="runs/default")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint in the workdir")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace (XPlane/Perfetto) of the run")
     args = p.parse_args(argv)
@@ -166,8 +259,17 @@ def main(argv=None) -> None:
     image_hw = tuple(tcfg.get("image_hw", (512, 512)))
     batch_size = int(tcfg.get("batch_size", 8))
     num_classes = int(mcfg.get("num_classes", 80))
+    data_type = cfg.data.get("type", "coco") if "data" in cfg else "coco"
     if args.synthetic or "data" not in cfg:
-        batches = synthetic_detection_batches(batch_size, image_hw, num_classes)
+        if data_type in ("kitti", "nuscenes"):
+            pc_range = tuple(mcfg.get("pc_range", (0, -39.68, -3, 69.12, 39.68, 1)))
+            batches = synthetic_points_batches(
+                batch_size, pc_range, num_classes=num_classes
+            )
+        else:
+            batches = synthetic_detection_batches(batch_size, image_hw, num_classes)
+    elif data_type == "kitti":
+        batches = kitti_batches(cfg, batch_size)
     else:
         batches = coco_batches(
             cfg, batch_size, image_hw, aug=tcfg.get("aug", "affine")
@@ -193,21 +295,44 @@ def main(argv=None) -> None:
         )
 
     step_fn = make_train_step(loss_apply)
+    save_every = int(tcfg.get("save_every", 1000))
     ckpt = CheckpointManager(
         os.path.join(args.workdir, "ckpt"),
         keep_max=int(tcfg.get("keep_checkpoint_max", 5)),
-        save_interval_steps=int(tcfg.get("save_every", 1000)),
+        save_interval_steps=save_every,
     )
+    start_step = 0
+    if args.resume and ckpt.latest_step() is not None:
+        import flax
+
+        template = flax.serialization.to_state_dict(
+            {"params": state.params, "batch_stats": state.batch_stats,
+             "opt_state": state.opt_state, "step": state.step}
+        )
+        restored = ckpt.restore(template)
+        state = state.replace(
+            step=jnp.asarray(restored["step"], jnp.int32),
+            params=flax.serialization.from_state_dict(
+                state.params, restored["params"]),
+            batch_stats=flax.serialization.from_state_dict(
+                state.batch_stats, restored["batch_stats"]),
+            opt_state=flax.serialization.from_state_dict(
+                state.opt_state, restored["opt_state"]),
+        )
+        start_step = int(restored["step"])
+        logger.info("resumed from step %d", start_step)
     trainer = Trainer(
         state, step_fn, mesh=mesh,
         metric_writer=MetricWriter(args.workdir),
         checkpoint_manager=ckpt,
         log_every=int(tcfg.get("log_every", 50)),
+        save_every=save_every,
     )
     from minddet_tpu.core.metrics import profiler_trace
 
     with profiler_trace(os.path.join(args.workdir, "trace") if args.profile else None):
-        trainer.fit(batches, num_steps=steps, batch_size=batch_size)
+        trainer.fit(batches, num_steps=steps, batch_size=batch_size,
+                    start_step=start_step)
     logger.info("done: %d steps", steps)
 
 

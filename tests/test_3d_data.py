@@ -191,3 +191,118 @@ def test_kitti_eval_cli_path(tmp_path):
     assert set(table["Car"].keys()) == {"bev", "3d"}
     for v in table["Car"].values():
         assert len(v) == 3 and all(np.isfinite(x) for x in v)
+
+
+# ---------------------------------------------------------------------------
+# Per-object noise aug (reference preprocess.py:560-668)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not host_ops.available(), reason="native lib missing")
+def test_noise_per_object_moves_box_with_its_points():
+    from minddet_tpu.data.kitti import noise_per_object
+
+    rng = np.random.RandomState(3)
+    box = np.array([[10.0, 0.0, -1.0, 2.0, 4.0, 1.5, 0.3]], np.float32)
+    inner = rng.uniform(-0.5, 0.5, (60, 4)).astype(np.float32)
+    inner[:, :3] += box[0, :3] + [0, 0, 0.6]
+    far = rng.uniform(30, 40, (40, 4)).astype(np.float32)
+    pts = np.concatenate([inner, far])
+    p2, b2 = noise_per_object(
+        rng, box, pts, rotation_perturb=(0.3, 0.3), center_noise_std=(1.0, 1.0, 0.0)
+    )
+    # box perturbed: rotation exactly +0.3, translation drawn from N(0,1)
+    assert abs((b2[0, 6] - box[0, 6]) - 0.3) < 1e-5
+    dloc = b2[0, :3] - box[0, :3]
+    assert np.linalg.norm(dloc[:2]) > 1e-3 and abs(dloc[2]) < 1e-6
+    # interior points moved rigidly with the box: distances to the new
+    # center equal distances to the old center (rotation+translation only)
+    d_old = np.linalg.norm(pts[:60, :2] - box[0, :2], axis=1)
+    d_new = np.linalg.norm(p2[:60, :2] - b2[0, :2], axis=1)
+    np.testing.assert_allclose(d_new, d_old, atol=1e-4)
+    # far points untouched
+    np.testing.assert_allclose(p2[60:], far, atol=0)
+
+
+@pytest.mark.skipif(not host_ops.available(), reason="native lib missing")
+def test_noise_per_object_never_creates_collisions():
+    from minddet_tpu.data.kitti import noise_per_object
+
+    rng = np.random.RandomState(5)
+    # a tight row of cars, 0.4 m apart nose-to-tail: most candidates collide
+    boxes = np.stack(
+        [np.array([5.0 + i * 4.4, 0.0, -1.0, 2.0, 4.0, 1.5, np.pi / 2])
+         for i in range(6)]
+    ).astype(np.float32)
+    iou0 = host_ops.rotated_iou_matrix(
+        boxes[:, [0, 1, 3, 4, 6]], boxes[:, [0, 1, 3, 4, 6]]
+    )
+    np.fill_diagonal(iou0, 0)
+    assert iou0.max() == 0.0  # scene starts collision-free
+    pts = rng.uniform(-1, 1, (50, 4)).astype(np.float32)
+    _, b2 = noise_per_object(
+        rng, boxes, pts, rotation_perturb=(-0.3, 0.3),
+        center_noise_std=(0.5, 0.5, 0.0), num_try=50,
+    )
+    bev = b2[:, [0, 1, 3, 4, 6]]
+    iou = host_ops.rotated_iou_matrix(bev, bev)
+    np.fill_diagonal(iou, 0)
+    assert iou.max() <= 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Assembled KITTI training path: records -> GT-AUG -> noise -> aug -> batch
+# ---------------------------------------------------------------------------
+
+@pytest.mark.skipif(not host_ops.available(), reason="native lib missing")
+def test_kitti_batches_carry_gtaug_objects(tmp_path):
+    """GT-database objects actually appear in training batches (the reference
+    wires this through prep_pointcloud; VERDICT r1 found ours unconnected)."""
+    from minddet_tpu.core.config import ConfigDict
+    from minddet_tpu.data.records import write_records
+    from minddet_tpu.train.train import kitti_batches
+
+    rng = np.random.RandomState(0)
+    exs = []
+    for i in range(4):
+        # one real car with 80 interior points + scene noise
+        cx = 10.0 + 3 * i
+        box = np.array([[cx, 0.0, -1.5, 1.8, 4.2, 1.5, 0.2]], np.float32)
+        inner = rng.uniform(-0.6, 0.6, (80, 4)).astype(np.float32)
+        inner[:, 0] += cx
+        inner[:, 2] = rng.uniform(-1.4, -0.2, 80)
+        noise = np.stack(
+            [rng.uniform(0, 60, 400), rng.uniform(-30, 30, 400),
+             rng.uniform(-2.5, 0.5, 400), rng.uniform(0, 1, 400)], -1
+        ).astype(np.float32)
+        exs.append({
+            "points": np.concatenate([inner, noise]),
+            "gt_boxes": box,
+            "gt_classes": np.array([1], np.int32),
+        })
+    write_records(str(tmp_path / "kitti"), exs)
+
+    cfg = ConfigDict({
+        "data": {
+            "type": "kitti",
+            "records": str(tmp_path / "kitti-*.arrayrecord"),
+            "classes": ["Car"],
+            "max_points": 2000,
+            "max_gt": 24,
+            "gt_sampler": {"max_per_class": {"Car": 10}},
+            "object_noise": {},
+            "augment": True,
+            "workers": 0,
+        }
+    })
+    batch = next(iter(kitti_batches(cfg, batch_size=4)))
+    assert batch["points"].shape == (4, 2000, 4)
+    assert batch["gt_boxes"].shape == (4, 24, 7)
+    n_gt = batch["gt_mask"].sum(axis=1)
+    # each scene had exactly 1 real box; the sampler must have pasted more
+    assert np.all(n_gt > 1), n_gt
+    # pasted boxes never overlap (collision rejection held through noise)
+    for b in range(4):
+        bev = batch["gt_boxes"][b][batch["gt_mask"][b]][:, [0, 1, 3, 4, 6]]
+        iou = host_ops.rotated_iou_matrix(bev, bev)
+        np.fill_diagonal(iou, 0)
+        assert iou.max() < 1e-3

@@ -131,3 +131,36 @@ def test_prepare_loss_weights_normalization():
     np.testing.assert_allclose(np.asarray(reg_w[0]), [0.5, 0.5, 0, 0, 0])
     np.testing.assert_allclose(np.asarray(cls_w[0]), [0.5, 0.5, 0.5, 0.5, 0])
     np.testing.assert_array_equal(np.asarray(cared[0]), [1, 1, 1, 1, 0])
+
+
+def test_loss_from_gt_device_pipeline():
+    """Fused voxelize + anchor-mask + assign + loss in one traced program."""
+    import numpy as np
+
+    from minddet_tpu.train.train import synthetic_points_batches
+
+    pcr = (0.0, -10.24, -3.0, 20.48, 10.24, 1.0)
+    model = PointPillars(
+        num_classes=1, grid_ny=128, grid_nx=128,
+        voxel_size=(0.16, 0.16, 4.0), pc_range=pcr,
+        anchor_sizes=((1.6, 3.9, 1.56),), anchor_strides=((0.32, 0.32, 0.0),),
+        anchor_offsets=((0.16, -10.08, -1.78),),
+        max_voxels=2000, max_points_per_voxel=16,
+        rpn_filters=(32, 64, 128), rpn_up_filters=(32, 32, 32),
+    )
+    batch = next(synthetic_points_batches(2, pcr, num_points=2000, seed=1))
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           method=model.loss_from_gt)
+    (total, parts), _ = model.apply(
+        variables, batch, train=True, method=model.loss_from_gt,
+        mutable=["batch_stats"],
+    )
+    assert np.isfinite(float(total))
+    assert {"loc_loss", "cls_loss", "dir_loss"} <= set(parts)
+    # anchor set matches the head's flat prediction count
+    gen = model.bind(variables).anchor_set()
+    assert gen["anchors"].shape == (64 * 64 * 2, 7)
+    out = model.apply(variables, batch["points"], batch["points_mask"],
+                      method=model.predict_from_points)
+    assert out["boxes"].shape == (2, 300, 7)

@@ -127,3 +127,35 @@ def test_build_optimizer_from_cfg():
     grads = {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))}
     updates, _ = tx.update(grads, opt_state, params)
     assert jax.tree_util.tree_structure(updates) == jax.tree_util.tree_structure(params)
+
+
+def test_trainer_checkpoint_resume_roundtrip(tmp_path):
+    """Trainer saves at the save interval; restore reproduces params + step."""
+    import flax
+
+    from minddet_tpu.core.checkpoint import CheckpointManager
+    from minddet_tpu.core.metrics import MetricWriter
+    from minddet_tpu.train.loop import Trainer
+
+    model = TinyNet()
+    rng = jax.random.PRNGKey(0)
+    batch = {"image": jnp.ones((4, 8, 8, 3))}
+    state = create_train_state(model, rng, batch, adamw(1e-2))
+    step_fn = make_train_step(_loss_apply_factory(model, 3.0), donate=False)
+
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"), save_interval_steps=5,
+                             async_save=False)
+    trainer = Trainer(state, step_fn, metric_writer=MetricWriter(str(tmp_path)),
+                      checkpoint_manager=ckpt, log_every=100, save_every=5)
+    final = trainer.fit(iter([batch] * 7), num_steps=7, batch_size=4)
+    assert ckpt.latest_step() == 7  # forced save on the last step
+
+    template = flax.serialization.to_state_dict(
+        {"params": state.params, "batch_stats": state.batch_stats,
+         "opt_state": state.opt_state, "step": state.step})
+    restored = ckpt.restore(template)
+    assert int(restored["step"]) == 7
+    got = flax.serialization.from_state_dict(state.params, restored["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(got),
+                    jax.tree_util.tree_leaves(final.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

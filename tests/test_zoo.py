@@ -193,3 +193,37 @@ def test_segmentation_loss_and_miou():
     np.testing.assert_allclose(float(m), 1.0)
     m2 = miou(jnp.zeros((1, 4, 4), jnp.int32), mask, 3)
     np.testing.assert_allclose(float(m2), 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Fast-lane smoke: every detector/segmentor family forward+loss, unmarked so
+# the default CI lane (-m "not slow") always exercises the whole zoo.
+# ---------------------------------------------------------------------------
+
+def test_zoo_fast_smoke_all_families():
+    rng = np.random.RandomState(7)
+    batch64 = _det_batch(rng, 1, 64)
+
+    def loss_of(model, batch):
+        variables = model.init(jax.random.PRNGKey(0), batch["image"])
+        (total, _), _ = model.apply(
+            variables, batch, train=True, method=model.loss,
+            mutable=["batch_stats"],
+        )
+        assert np.isfinite(float(total)), type(model).__name__
+        return float(total)
+
+    loss_of(SSD(num_classes=4, image_size=96), _det_batch(rng, 1, 96))
+    loss_of(YOLOX(num_classes=4, image_hw=(64, 64)), batch64)
+    loss_of(YOLOv8(num_classes=4, image_hw=(64, 64)), batch64)
+    loss_of(YOLOv3(num_classes=4, image_hw=(64, 64)), batch64)
+
+    image = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
+    mask = jnp.asarray(rng.randint(0, 5, (1, 64, 64)))
+    model = DeepLabV3Plus(num_classes=5, depth=18)
+    variables = model.init(jax.random.PRNGKey(0), image)
+    (total, _), _ = model.apply(
+        variables, {"image": image, "mask": mask}, train=True,
+        method=model.loss, mutable=["batch_stats"],
+    )
+    assert np.isfinite(float(total))
