@@ -139,7 +139,7 @@ def test_trainer_checkpoint_resume_roundtrip(tmp_path):
 
     model = TinyNet()
     rng = jax.random.PRNGKey(0)
-    batch = {"image": jnp.ones((4, 8, 8, 3))}
+    batch = {"image": jnp.ones((8, 8, 8, 3))}  # divisible by the 8-dev mesh
     state = create_train_state(model, rng, batch, adamw(1e-2))
     step_fn = make_train_step(_loss_apply_factory(model, 3.0), donate=False)
 
