@@ -22,7 +22,8 @@ from minddet_tpu.models.readers.pillar_encoder import (
     PillarFeatureNet,
     PointPillarsScatter,
 )
-from minddet_tpu.ops.voxelize import decorate_pillar_features
+from minddet_tpu.ops.targets import centerpoint_targets_batch
+from minddet_tpu.ops.voxelize import decorate_pillar_features, voxelize_batch
 
 
 @DETECTORS.register_module()
@@ -43,6 +44,14 @@ class CenterPoint(nn.Module):
     out_size_factor: int = 4
     code_weights: Sequence[float] = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2, 1.0, 1.0)
     loc_weight: float = 0.25
+    # on-device voxelizer + target-assignment spec (reference
+    # configs_ms/nusc/pp/...sweep.py: max_points_in_voxel=20,
+    # max_voxel_num=[30000, 60000], gaussian_overlap=0.1, min_radius=2)
+    max_voxels: int = 30000
+    max_points_per_voxel: int = 20
+    gaussian_overlap: float = 0.1
+    min_radius: float = 2.0
+    max_objs: int = 500
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -79,6 +88,63 @@ class CenterPoint(nn.Module):
         canvas = self.scatter(pillars, coords)
         x = self.rpn(canvas, train=train)
         return self.head(x, train=train)
+
+    def loss_from_gt(self, batch: Dict[str, Any], train: bool = True):
+        """Raw-points batch -> loss: device voxelize + per-task Gaussian
+        heatmap/anno-box assignment fused into the jitted step (the reference
+        bakes AssignLabel offline into MindRecord,
+        ``tools_ms/create_mindrecord.py:16-121``).
+
+        batch: points (B, N, 5) padded, points_mask (B, N), gt_boxes
+        (B, G, 9) [x,y,z,w,l,h,vx,vy,yaw], gt_classes (B, G) 1-based global
+        ids (sequential over the task grouping), gt_mask (B, G).
+        """
+        vox = voxelize_batch(
+            batch["points"], batch["points_mask"], tuple(self.voxel_size),
+            tuple(self.pc_range), self.max_voxels, self.max_points_per_voxel,
+        )
+        fh = self.grid_ny // self.out_size_factor
+        fw = self.grid_nx // self.out_size_factor
+        example: Dict[str, List] = {
+            "hm": [], "anno_box": [], "ind": [], "mask": [], "cat": []}
+        lo = 0
+        for n in self.task_num_classes:
+            in_task = (
+                batch["gt_mask"]
+                & (batch["gt_classes"] > lo)
+                & (batch["gt_classes"] <= lo + n)
+            )
+            within = jnp.clip(batch["gt_classes"] - lo - 1, 0, n - 1)
+            tt = centerpoint_targets_batch(
+                batch["gt_boxes"], within, in_task, (fh, fw), n,
+                tuple(self.pc_range), tuple(self.voxel_size),
+                self.out_size_factor, self.gaussian_overlap, self.min_radius,
+                self.max_objs,
+            )
+            for k in example:
+                example[k].append(tt[k])
+            lo += n
+        preds = self(vox.voxels, vox.num_points, vox.coords, train=train)
+        return self.head.loss(preds, example)
+
+    def predict_from_points(
+        self,
+        points: jnp.ndarray,
+        points_mask: jnp.ndarray,
+        score_threshold: float = 0.1,
+        nms_pre: int = 1000,
+        nms_post: int = 83,
+        nms_iou: float = 0.2,
+    ) -> Dict[str, jnp.ndarray]:
+        """Raw padded points -> detections, one fused device program."""
+        vox = voxelize_batch(
+            points, points_mask, tuple(self.voxel_size), tuple(self.pc_range),
+            self.max_voxels, self.max_points_per_voxel,
+        )
+        return self.predict(
+            vox.voxels, vox.num_points, vox.coords, score_threshold,
+            nms_pre, nms_post, nms_iou,
+        )
 
     def loss(self, batch: Dict[str, Any], train: bool = True):
         """batch: voxels/num_points/coords + per-task target lists (hm,

@@ -133,30 +133,37 @@ def coco_batches(cfg, batch_size: int, image_hw, seed: int = 0, aug: str = "affi
 
 def synthetic_points_batches(
     batch_size: int, pc_range, num_points: int = 12000, max_gt: int = 12,
-    num_classes: int = 1, seed: int = 0,
+    num_classes: int = 1, seed: int = 0, num_features: int = 4,
+    box_dim: int = 7,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Random point clouds + lidar boxes in the uniform 3D batch layout."""
+    """Random point clouds + lidar boxes in the uniform 3D batch layout.
+
+    ``box_dim=7`` for anchor models ([x,y,z,w,l,h,yaw]); ``box_dim=9`` adds
+    (vx, vy) before yaw for CenterPoint; ``num_features=5`` adds the sweep
+    time channel."""
     rng = np.random.RandomState(seed)
     x0, y0, z0, x1, y1, z1 = pc_range
     step = 0
     while True:
         step += 1
-        pts = np.stack(
-            [rng.uniform(x0, x1, (batch_size, num_points)),
-             rng.uniform(y0, y1, (batch_size, num_points)),
-             rng.uniform(z0, z1, (batch_size, num_points)),
-             rng.uniform(0, 1, (batch_size, num_points))], -1,
-        ).astype(np.float32)
+        feats = [rng.uniform(x0, x1, (batch_size, num_points)),
+                 rng.uniform(y0, y1, (batch_size, num_points)),
+                 rng.uniform(z0, z1, (batch_size, num_points)),
+                 rng.uniform(0, 1, (batch_size, num_points))]
+        while len(feats) < num_features:
+            feats.append(rng.uniform(0, 0.45, (batch_size, num_points)))
+        pts = np.stack(feats, -1).astype(np.float32)
         n = rng.randint(1, max_gt, batch_size)
-        boxes = np.zeros((batch_size, max_gt, 7), np.float32)
+        boxes = np.zeros((batch_size, max_gt, box_dim), np.float32)
         mask = np.zeros((batch_size, max_gt), bool)
         for i in range(batch_size):
             c = rng.uniform([x0 + 5, y0 + 5], [x1 - 5, y1 - 5], (n[i], 2))
-            boxes[i, : n[i]] = np.concatenate(
-                [c, np.full((n[i], 1), z0 + 1.2),
-                 np.tile([1.6, 3.9, 1.56], (n[i], 1)),
-                 rng.uniform(-np.pi, np.pi, (n[i], 1))], -1,
-            )
+            cols = [c, np.full((n[i], 1), z0 + 1.2),
+                    np.tile([1.6, 3.9, 1.56], (n[i], 1))]
+            if box_dim == 9:
+                cols.append(rng.uniform(-2, 2, (n[i], 2)))  # vx, vy
+            cols.append(rng.uniform(-np.pi, np.pi, (n[i], 1)))
+            boxes[i, : n[i]] = np.concatenate(cols, -1)
             mask[i, : n[i]] = True
         yield {
             "points": pts,
@@ -222,6 +229,34 @@ def kitti_batches(cfg, batch_size: int, seed: int = 0):
         yield raw
 
 
+def nuscenes_batches(cfg, batch_size: int, seed: int = 0):
+    """nuScenes pipeline: merged-sweep records -> CBGS-balanced sampling ->
+    global flip/rot/scale/translate (host); voxelize + per-task heatmap
+    targets run on device (``CenterPoint.loss_from_gt``)."""
+    from minddet_tpu.data.loader import DataLoader, DistributedSampler
+    from minddet_tpu.data.nuscenes import NuScenesDetection
+
+    dcfg = cfg.data
+    ds = NuScenesDetection(
+        dcfg.records,
+        max_points=int(dcfg.get("max_points", 120000)),
+        max_gt=int(dcfg.get("max_gt", 500)),
+        cbgs=bool(dcfg.get("cbgs", True)),
+        augment=bool(dcfg.get("augment", True)),
+        seed=seed,
+    )
+    sampler = DistributedSampler(
+        len(ds), num_shards=jax.process_count(), shard_id=jax.process_index(),
+        seed=seed,
+    )
+    loader = DataLoader(ds, batch_size, sampler=sampler,
+                        num_workers=dcfg.get("workers", 4))
+    for step, raw in enumerate(loader):
+        raw.pop("gt_attrs", None)  # attributes feed eval, not the loss
+        raw["step"] = np.asarray(step, np.int32)
+        yield raw
+
+
 def loss_method_for(model) -> Any:
     """Uniform loss entry: prefer ``loss_from_gt`` (CenterNet) else ``loss``."""
     return getattr(model, "loss_from_gt", None) or model.loss
@@ -263,13 +298,20 @@ def main(argv=None) -> None:
     if args.synthetic or "data" not in cfg:
         if data_type in ("kitti", "nuscenes"):
             pc_range = tuple(mcfg.get("pc_range", (0, -39.68, -3, 69.12, 39.68, 1)))
+            is_nusc = data_type == "nuscenes"
+            if is_nusc:
+                num_classes = int(sum(mcfg.get("task_num_classes", (10,))))
             batches = synthetic_points_batches(
-                batch_size, pc_range, num_classes=num_classes
+                batch_size, pc_range, num_classes=num_classes,
+                num_features=5 if is_nusc else 4,
+                box_dim=9 if is_nusc else 7,
             )
         else:
             batches = synthetic_detection_batches(batch_size, image_hw, num_classes)
     elif data_type == "kitti":
         batches = kitti_batches(cfg, batch_size)
+    elif data_type == "nuscenes":
+        batches = nuscenes_batches(cfg, batch_size)
     else:
         batches = coco_batches(
             cfg, batch_size, image_hw, aug=tcfg.get("aug", "affine")

@@ -1,0 +1,229 @@
+"""nuScenes ingestion on a synthetic v1.0-layout fixture: raw-table parsing,
+lidar-frame GT + velocity extraction, sweep-transform chain, CBGS balance,
+record roundtrip into CenterPoint's fused device loss."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from minddet_tpu.data.nuscenes import (
+    ATTRIBUTES,
+    DETECTION_CLASSES,
+    NuScenesDetection,
+    cbgs_indices,
+    create_nuscenes_infos,
+    create_nuscenes_records,
+    load_merged_sweeps,
+    quaternion_yaw,
+)
+
+QI = [1.0, 0.0, 0.0, 0.0]  # identity quaternion
+QZ90 = [float(np.cos(np.pi / 4)), 0.0, 0.0, float(np.sin(np.pi / 4))]  # yaw +90
+
+
+def _write_fake_nusc(root):
+    """One scene, 3 keyframes at t=0/0.5/1.0 s with intermediate sweeps; ego
+    drives +x at 2 m/s; lidar mounted at z=+1.8; a parked car and a
+    pedestrian walking +y at 3 m/s."""
+    version = os.path.join(root, "v1.0-test")
+    os.makedirs(version, exist_ok=True)
+    os.makedirs(os.path.join(root, "sweeps"), exist_ok=True)
+
+    t_us = lambda s: int(s * 1e6)
+    sd_times = [0.0, 0.25, 0.5, 0.75, 1.0]  # kf, sweep, kf, sweep, kf
+    is_kf = [True, False, True, False, True]
+    sample_of = ["s0", "s1", "s1", "s2", "s2"]
+
+    ego_pose, sample_data = [], []
+    rng = np.random.RandomState(0)
+    for i, t in enumerate(sd_times):
+        ego_pose.append({"token": f"ep{i}", "timestamp": t_us(t),
+                         "translation": [2.0 * t, 0.0, 0.0], "rotation": QI})
+        fname = f"sweeps/pc{i}.pcd.bin"
+        sample_data.append({
+            "token": f"sd{i}", "sample_token": sample_of[i],
+            "ego_pose_token": f"ep{i}", "calibrated_sensor_token": "cs0",
+            "filename": fname, "timestamp": t_us(t), "is_key_frame": is_kf[i],
+            "prev": f"sd{i - 1}" if i > 0 else "",
+            "next": f"sd{i + 1}" if i < 4 else "",
+        })
+        # point cloud in the lidar frame at time t: noise + a cluster at the
+        # parked car's lidar-frame position (car global (10, 0, 0.75))
+        pts = rng.uniform(-1.5, 20, (200, 5)).astype(np.float32)
+        car_lidar = np.array([10.0 - 2.0 * t, 0.0, 0.75 - 1.8], np.float32)
+        cluster = car_lidar + rng.uniform(-0.7, 0.7, (50, 3)).astype(np.float32)
+        pts[:50, :3] = cluster
+        pts.tofile(os.path.join(root, fname))
+
+    samples = [
+        {"token": f"s{i}", "timestamp": t_us(0.5 * i), "scene_token": "sc0"}
+        for i in range(3)
+    ]
+
+    anns = []
+    for i in range(3):  # instance A: parked car, yaw 90deg
+        anns.append({
+            "token": f"a{i}", "sample_token": f"s{i}", "instance_token": "instA",
+            "translation": [10.0, 0.0, 0.75], "size": [1.9, 4.6, 1.7],
+            "rotation": QZ90, "prev": f"a{i - 1}" if i > 0 else "",
+            "next": f"a{i + 1}" if i < 2 else "", "num_lidar_pts": 50,
+            "num_radar_pts": 0, "attribute_tokens": ["at_parked"],
+        })
+    for i in range(3):  # instance B: pedestrian walking +y at 3 m/s
+        anns.append({
+            "token": f"b{i}", "sample_token": f"s{i}", "instance_token": "instB",
+            "translation": [5.0, 3.0 * 0.5 * i, 0.9], "size": [0.6, 0.7, 1.7],
+            "rotation": QI, "prev": f"b{i - 1}" if i > 0 else "",
+            "next": f"b{i + 1}" if i < 2 else "", "num_lidar_pts": 8,
+            "num_radar_pts": 0, "attribute_tokens": ["at_moving"],
+        })
+    # an empty-lidar annotation that filter_zero must drop
+    anns.append({
+        "token": "c0", "sample_token": "s0", "instance_token": "instA",
+        "translation": [3.0, 3.0, 0.5], "size": [1.9, 4.6, 1.7],
+        "rotation": QI, "prev": "", "next": "", "num_lidar_pts": 0,
+        "num_radar_pts": 0, "attribute_tokens": [],
+    })
+
+    tables = {
+        "sample": samples,
+        "sample_data": sample_data,
+        "ego_pose": ego_pose,
+        "calibrated_sensor": [{
+            "token": "cs0", "sensor_token": "sn0",
+            "translation": [0.0, 0.0, 1.8], "rotation": QI,
+        }],
+        "sample_annotation": anns,
+        "scene": [{"token": "sc0", "name": "scene-0001"}],
+        "category": [
+            {"token": "cat_car", "name": "vehicle.car"},
+            {"token": "cat_ped", "name": "human.pedestrian.adult"},
+        ],
+        "attribute": [
+            {"token": "at_parked", "name": "vehicle.parked"},
+            {"token": "at_moving", "name": "pedestrian.moving"},
+        ],
+        "instance": [
+            {"token": "instA", "category_token": "cat_car"},
+            {"token": "instB", "category_token": "cat_ped"},
+        ],
+        "sensor": [{"token": "sn0", "channel": "LIDAR_TOP"}],
+    }
+    for name, rows in tables.items():
+        with open(os.path.join(version, f"{name}.json"), "w") as f:
+            json.dump(rows, f)
+    return root
+
+
+def test_infos_lidar_frame_gt_and_velocity(tmp_path):
+    root = _write_fake_nusc(str(tmp_path))
+    train, val = create_nuscenes_infos(root, "v1.0-test", nsweeps=3)
+    assert len(train) == 3 and len(val) == 0
+    info0 = train[0]
+    # filter_zero dropped the empty annotation
+    assert len(info0["gt_names"]) == 2
+    i_car = info0["gt_names"].index("car")
+    i_ped = info0["gt_names"].index("pedestrian")
+    box_car = info0["gt_boxes"][i_car]
+    # lidar frame at t=0: global (10,0,0.75) - ego (0,0,0) - mount (0,0,1.8)
+    np.testing.assert_allclose(box_car[:3], [10.0, 0.0, -1.05], atol=1e-5)
+    np.testing.assert_allclose(box_car[3:6], [1.9, 4.6, 1.7], atol=1e-5)
+    assert abs(box_car[8] - np.pi / 2) < 1e-5  # yaw from the quaternion
+    np.testing.assert_allclose(box_car[6:8], [0.0, 0.0], atol=1e-6)  # parked
+    # walking pedestrian: forward-difference velocity (0, 3)
+    box_ped = info0["gt_boxes"][i_ped]
+    np.testing.assert_allclose(box_ped[6:8], [0.0, 3.0], atol=1e-5)
+    # attributes recorded for mAAE modeling
+    assert info0["gt_attrs"][i_car] == ATTRIBUTES.index("vehicle.parked")
+    assert info0["gt_attrs"][i_ped] == ATTRIBUTES.index("pedestrian.moving")
+    # ego motion shifts the lidar-frame car at t=1.0 by -2 m in x
+    box_car2 = train[2]["gt_boxes"][train[2]["gt_names"].index("car")]
+    np.testing.assert_allclose(box_car2[:3], [8.0, 0.0, -1.05], atol=1e-5)
+
+
+def test_sweep_transform_chain_and_padding(tmp_path):
+    root = _write_fake_nusc(str(tmp_path))
+    train, _ = create_nuscenes_infos(root, "v1.0-test", nsweeps=3)
+    # first keyframe has no history: padded with the ref cloud (lag 0)
+    assert len(train[0]["sweeps"]) == 2
+    assert train[0]["sweeps"][0]["transform_matrix"] is None
+    assert train[0]["sweeps"][1]["time_lag"] == 0.0
+    # last keyframe: sweeps at lag 0.25 (sd3) and 0.5 (sd2 = keyframe 1)
+    lags = [s["time_lag"] for s in train[2]["sweeps"]]
+    np.testing.assert_allclose(lags, [0.25, 0.5], atol=1e-9)
+    # the transform must shift a past cloud by -2 * lag in x (ego at 2 m/s)
+    tm = train[2]["sweeps"][1]["transform_matrix"]
+    np.testing.assert_allclose(tm[:3, :3], np.eye(3), atol=1e-7)
+    np.testing.assert_allclose(tm[:3, 3], [-1.0, 0.0, 0.0], atol=1e-6)
+
+    merged = load_merged_sweeps(train[2], root, nsweeps=3)
+    assert merged.shape[1] == 5
+    dts = np.unique(merged[:, 4])
+    np.testing.assert_allclose(sorted(dts), [0.0, 0.25, 0.5], atol=1e-6)
+    # the parked car's cluster from every sweep lands at the SAME ref-frame
+    # position (10 - 2*1.0 = 8.0) after the transform chain
+    for dt in (0.0, 0.25, 0.5):
+        sel = merged[np.isclose(merged[:, 4], dt)]
+        near = sel[np.linalg.norm(sel[:, :2] - [8.0, 0.0], axis=1) < 1.2]
+        assert len(near) >= 30, f"car cluster missing in sweep dt={dt}"
+
+
+def test_cbgs_rebalances_rare_classes():
+    rng = np.random.RandomState(0)
+    # 90 car-only samples, 10 with a bicycle
+    sets = [{"car"} for _ in range(90)] + [{"car", "bicycle"} for _ in range(10)]
+    idx = cbgs_indices(sets, class_names=("car", "bicycle"), rng=rng)
+    picked = [sets[i] for i in idx]
+    n_bike = sum("bicycle" in s for s in picked)
+    # bicycle samples must be heavily duplicated: ~half the epoch
+    assert n_bike / len(picked) > 0.35
+
+
+def test_records_roundtrip_to_centerpoint_loss(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from minddet_tpu.models.detectors.centerpoint import CenterPoint
+
+    root = _write_fake_nusc(str(tmp_path))
+    out = str(tmp_path / "nusc")
+    paths = create_nuscenes_records(root, out, "v1.0-test", nsweeps=3)
+    assert paths and os.path.exists(out + "-classsets.json")
+
+    ds = NuScenesDetection(out + "-*.arrayrecord", max_points=2048,
+                           max_gt=32, cbgs=True, augment=True)
+    ex = ds[0]
+    assert ex["points"].shape == (2048, 5)
+    assert ex["gt_boxes"].shape == (32, 9)
+    assert ex["gt_mask"].sum() == 2
+    got = {DETECTION_CLASSES[c - 1] for c in ex["gt_classes"][ex["gt_mask"]]}
+    assert got == {"car", "pedestrian"}
+
+    batch = {
+        k: jnp.asarray(np.stack([ds[0][k], ds[1][k]]))
+        for k in ("points", "points_mask", "gt_boxes", "gt_classes", "gt_mask")
+    }
+    model = CenterPoint(
+        task_num_classes=(1, 2, 2, 1, 2, 2), grid_ny=128, grid_nx=128,
+        voxel_size=(0.2, 0.2, 8.0), pc_range=(-12.8, -12.8, -5.0, 12.8, 12.8, 3.0),
+        max_voxels=1024, max_points_per_voxel=8, max_objs=32,
+        rpn_filters=(32, 64, 128), rpn_up_filters=(32, 32, 32),
+    )
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           method=model.loss_from_gt)
+    (total, parts), _ = model.apply(
+        variables, batch, train=True, method=model.loss_from_gt,
+        mutable=["batch_stats"],
+    )
+    assert np.isfinite(float(total))
+    out_p = model.apply(variables, batch["points"], batch["points_mask"],
+                        method=model.predict_from_points)
+    assert out_p["boxes"].shape[0] == 2
+
+
+def test_quaternion_yaw_basics():
+    assert abs(quaternion_yaw([1, 0, 0, 0])) < 1e-8
+    q = [np.cos(0.3 / 2), 0, 0, np.sin(0.3 / 2)]
+    assert abs(quaternion_yaw(q) - 0.3) < 1e-7
