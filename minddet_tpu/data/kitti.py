@@ -97,6 +97,99 @@ def read_velodyne(path: str) -> np.ndarray:
     return np.fromfile(path, np.float32).reshape(-1, 4)
 
 
+# ---------------------------------------------------------------------------
+# lidar -> camera projection (counterpart of the reference's
+# ``box_lidar_to_camera`` + bbox projection feeding ``predict_kitti_to_anno``,
+# pointpillars/src/predict.py:331-396)
+# ---------------------------------------------------------------------------
+
+def lidar_box_to_camera(boxes7: np.ndarray, trv2c_rect: np.ndarray) -> np.ndarray:
+    """(N, 7) lidar [x,y,z_bottom,w,l,h,yaw] -> camera [x,y,z,l,h,w,ry].
+
+    KITTI camera location is the box-bottom center (camera y points down);
+    ry = -yaw - pi/2 (inverse of ``camera_to_lidar_boxes``)."""
+    n = len(boxes7)
+    if n == 0:
+        return np.zeros((0, 7), np.float32)
+    xyz1 = np.concatenate([boxes7[:, :3], np.ones((n, 1), np.float32)], -1)
+    cam = (xyz1 @ trv2c_rect.T)[:, :3]
+    dims = boxes7[:, [4, 5, 3]]  # l, h, w
+    ry = -boxes7[:, 6] - np.pi / 2
+    return np.concatenate([cam, dims, ry[:, None]], -1).astype(np.float32)
+
+
+def camera_box_corners(cam_boxes: np.ndarray) -> np.ndarray:
+    """(N, 7) camera [x,y,z,l,h,w,ry] -> (N, 8, 3) corners.
+
+    Location is the bottom-face center; camera y points down so the box
+    spans y in [-h, 0]; rotation is about the camera y axis."""
+    n = len(cam_boxes)
+    l, h, w = cam_boxes[:, 3], cam_boxes[:, 4], cam_boxes[:, 5]
+    x = np.stack([l / 2, l / 2, -l / 2, -l / 2] * 2, -1)
+    z = np.stack([w / 2, -w / 2, -w / 2, w / 2] * 2, -1)
+    y = np.stack([np.zeros_like(h)] * 4 + [-h] * 4, -1)
+    ry = cam_boxes[:, 6]
+    c, s = np.cos(ry)[:, None], np.sin(ry)[:, None]
+    xr = c * x + s * z
+    zr = -s * x + c * z
+    corners = np.stack([xr, y, zr], -1)  # (N, 8, 3)
+    return corners + cam_boxes[:, None, :3]
+
+
+def project_camera_to_image(pts: np.ndarray, p2: np.ndarray) -> np.ndarray:
+    """(..., 3) camera points -> (..., 2) pixel coords via P2."""
+    hom = pts @ p2[:, :3].T + p2[:, 3]
+    return hom[..., :2] / np.maximum(hom[..., 2:3], 1e-6)
+
+
+def detections_to_kitti_annos(
+    boxes7: np.ndarray,
+    scores: np.ndarray,
+    labels: np.ndarray,
+    classes: Sequence[str],
+    trv2c_rect: np.ndarray,
+    p2: np.ndarray,
+    img_shape: Sequence[int],
+) -> Dict[str, np.ndarray]:
+    """Lidar detections -> full KITTI anno (camera boxes, projected image
+    bbox clipped to the frame, alpha), the quantities the official bbox-AP /
+    AOS protocol scores (``predict_kitti_to_anno``, predict.py:331-396).
+
+    Detections whose camera z is behind the plane or whose projected bbox
+    falls entirely outside the image are dropped (predict.py:365-374)."""
+    cam = lidar_box_to_camera(boxes7, trv2c_rect)
+    ih, iw = int(img_shape[0]), int(img_shape[1])
+    keep = cam[:, 2] > 0.1
+    cam, boxes7 = cam[keep], boxes7[keep]
+    scores, labels = np.asarray(scores)[keep], np.asarray(labels)[keep]
+    uv = project_camera_to_image(camera_box_corners(cam), p2)  # (N, 8, 2)
+    bbox = np.concatenate([uv.min(1), uv.max(1)], -1) if len(uv) else np.zeros((0, 4))
+    inside = np.ones(len(cam), bool)
+    if len(cam):
+        inside = ~(
+            (bbox[:, 0] > iw) | (bbox[:, 1] > ih) | (bbox[:, 2] < 0) | (bbox[:, 3] < 0)
+        )
+    cam, boxes7, bbox = cam[inside], boxes7[inside], bbox[inside]
+    scores, labels = scores[inside], labels[inside]
+    bbox[:, 0::2] = np.clip(bbox[:, 0::2], 0, iw)
+    bbox[:, 1::2] = np.clip(bbox[:, 1::2], 0, ih)
+    alpha = -np.arctan2(-boxes7[:, 1], boxes7[:, 0]) + cam[:, 6]
+    name = np.asarray(
+        [classes[int(c)] if 0 <= c < len(classes) else "Car" for c in labels]
+    )
+    return {
+        "name": name,
+        "bbox": bbox.astype(np.float32),
+        "location": cam[:, :3].astype(np.float32),
+        "dimensions": cam[:, 3:6].astype(np.float32),
+        "rotation_y": cam[:, 6].astype(np.float32),
+        "alpha": alpha.astype(np.float32),
+        "occluded": np.zeros(len(cam), np.int64),
+        "truncated": np.zeros(len(cam), np.float32),
+        "score": scores.astype(np.float32),
+    }
+
+
 def kitti_examples(
     root: str,
     split_ids: Sequence[str],
@@ -111,12 +204,53 @@ def kitti_examples(
         points = read_velodyne(os.path.join(root, training_dir, "velodyne", f"{sid}.bin"))
         objs = [o for o in label if o["name"] in name_to_id]
         boxes = camera_to_lidar_boxes(objs, calib)
+        trv2c_rect = (
+            calib["R0_rect"] @ calib["Tr_velo_to_cam"]
+            if "R0_rect" in calib and "Tr_velo_to_cam" in calib
+            else np.eye(4, dtype=np.float32)
+        )
+        img_shape = np.asarray([375, 1242], np.int32)  # KITTI default
+        img_path = os.path.join(root, training_dir, "image_2", f"{sid}.png")
+        if os.path.exists(img_path):
+            try:
+                import cv2
+
+                img = cv2.imread(img_path)
+                if img is not None:
+                    img_shape = np.asarray(img.shape[:2], np.int32)
+            except ImportError:
+                pass
+        # full camera-frame label record (incl. DontCare) — the official
+        # bbox-AP/AOS protocol needs the original 2D boxes, alpha, and
+        # occlusion/truncation for difficulty filtering
+        n_all = len(label)
         yield {
             "points": points,
             "gt_boxes": boxes,
             "gt_classes": np.array([name_to_id[o["name"]] for o in objs], np.int32),
             "frame_id": np.frombuffer(sid.encode().ljust(16), np.uint8).copy(),
             "P2": calib.get("P2", np.zeros((3, 4), np.float32)),
+            "Trv2c_rect": trv2c_rect.astype(np.float32),
+            "img_shape": img_shape,
+            "anno_name": np.array([o["name"] for o in label], dtype="U16"),
+            "anno_bbox": (
+                np.stack([o["bbox"] for o in label]).astype(np.float32)
+                if n_all else np.zeros((0, 4), np.float32)
+            ),
+            "anno_alpha": np.array([o["alpha"] for o in label], np.float32),
+            "anno_occluded": np.array([o["occluded"] for o in label], np.int64),
+            "anno_truncated": np.array([o["truncated"] for o in label], np.float32),
+            "anno_location": (
+                np.stack([o["location"] for o in label]).astype(np.float32)
+                if n_all else np.zeros((0, 3), np.float32)
+            ),
+            "anno_dimensions": (
+                np.stack([o["dimensions"] for o in label]).astype(np.float32)
+                if n_all else np.zeros((0, 3), np.float32)
+            ),
+            "anno_rotation_y": np.array(
+                [o["rotation_y"] for o in label], np.float32
+            ),
         }
 
 
@@ -237,6 +371,7 @@ class KittiDetection:
         gt_sampler=None,
         augment: bool = False,
         object_noise: Optional[Dict[str, Any]] = None,
+        keep_raw: bool = False,
         seed: int = 0,
     ):
         self.records = RecordDataset(record_pattern)
@@ -245,6 +380,7 @@ class KittiDetection:
         self.gt_sampler = gt_sampler
         self.augment = augment
         self.object_noise = object_noise
+        self.keep_raw = keep_raw
         self._rng = np.random.RandomState(seed)
 
     def __len__(self) -> int:
@@ -277,13 +413,20 @@ class KittiDetection:
         gb[:g] = boxes[:g]
         gc[:g] = classes[:g]
         gm[:g] = True
-        return {
+        out = {
             "points": p,
             "points_mask": (np.arange(self.max_points) < n),
             "gt_boxes": gb,
             "gt_classes": gc,
             "gt_mask": gm,
         }
+        if self.keep_raw:  # eval path: calib + original camera-frame labels
+            for k, v in rec.items():
+                if k.startswith("anno_") or k in (
+                    "P2", "Trv2c_rect", "img_shape", "frame_id"
+                ):
+                    out[k] = v
+        return out
 
 
 def global_augment(

@@ -3,7 +3,9 @@
 Replaces the reference's per-model eval scripts (``centernet/eval.py``,
 ``pointpillars/eval.py``, ``centerpoint/tools_ms/eval.py``). The device side
 is one fused predict program (forward + decode + NMS); the host only
-accumulates protocol metrics.
+accumulates protocol metrics. ``main`` dispatches on the config's data type:
+COCO (fixed-res zoo path or CenterNet's keep-res + soft-NMS protocol), KITTI
+(camera-frame bbox/BEV/3D/AOS), or segmentation mIoU.
 
     python -m minddet_tpu.train.evaluate --config configs/centernet_r18_coco.yaml \
         --checkpoint runs/default/ckpt --records 'data/coco/val-*.arrayrecord'
@@ -12,7 +14,8 @@ accumulates protocol metrics.
 from __future__ import annotations
 
 import argparse
-from typing import Dict
+from collections import defaultdict
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -22,13 +25,15 @@ from minddet_tpu.core.config import Config
 from minddet_tpu.core.metrics import logger
 from minddet_tpu.core.registry import DETECTORS
 from minddet_tpu.data.coco import CocoDetection, evaluate_coco_detections
-from minddet_tpu.data.transforms import eval_affine, invert_affine, warp_images
+from minddet_tpu.data.transforms import eval_affine, warp_images
 
 import minddet_tpu.train.train  # noqa: F401  (populates the registry)
 
 
 def coco_evaluate(model, variables, records: str, image_hw, num_classes: int,
                   batch_size: int = 8, max_images: int = 0) -> Dict[str, float]:
+    """Fixed-resolution eval path (zoo detectors): warp to ``image_hw``,
+    fused predict, inverse-affine back to original pixels."""
     ds = CocoDetection(records, max_objs=128, keep_raw=True)
     n = len(ds)
     if max_images:
@@ -73,64 +78,167 @@ def coco_evaluate(model, variables, records: str, image_hw, num_classes: int,
     return stats
 
 
-def main(argv=None) -> None:
-    p = argparse.ArgumentParser(description="minddet_tpu evaluator")
-    p.add_argument("--config", required=True)
-    p.add_argument("--checkpoint", default=None)
-    p.add_argument("--records", required=True)
-    p.add_argument("--max-images", type=int, default=0)
-    p.add_argument("--options", nargs="*", default=[])
-    args = p.parse_args(argv)
+# ---------------------------------------------------------------------------
+# CenterNet baseline protocol: keep-res |31+1 padding, per-class soft-NMS,
+# top-100 cross-class merge, multi-scale (reference eval.py:110-162,
+# post_process.py:36-61, dataset.py:223-257)
+# ---------------------------------------------------------------------------
 
-    cfg = Config.fromfile(args.config).merge_from_options(args.options)
-    model = DETECTORS.build(dict(cfg.model))
-    image_hw = tuple(cfg.train.get("image_hw", (512, 512)))
+def _keep_res_hw(h: int, w: int, scale: float, bucket: int) -> tuple:
+    """Reference padding ``(dim|31)+1`` then rounded up to ``bucket`` so XLA
+    compiles one program per bucket instead of per image shape. Scale-1
+    centered placement makes the extra border protocol-neutral (the affine
+    in ``pre_process_for_test`` pads, never resizes)."""
+    nh, nw = int(h * scale), int(w * scale)
+    ih, iw = (nh | 31) + 1, (nw | 31) + 1
+    return -(-ih // bucket) * bucket, -(-iw // bucket) * bucket
 
-    image = jnp.zeros((1,) + image_hw + (3,))
-    variables = model.init(jax.random.PRNGKey(0), image)
-    if args.checkpoint:
-        from minddet_tpu.core.checkpoint import load_pytree
 
-        restored = load_pytree(args.checkpoint)
-        variables = {"params": restored["params"],
-                     "batch_stats": restored.get("batch_stats", {})}
+def _soft_nms_per_class(boxes, scores, labels, num_classes, cap=128):
+    """Per-class Gaussian soft-NMS, all classes in ONE vmapped device call
+    (the reference loops a Cython ext per class, post_process.py:44-52)."""
+    from minddet_tpu.ops.nms import soft_nms
 
-    stats = coco_evaluate(
-        model, variables, args.records, image_hw,
-        int(cfg.model.get("num_classes", 80)), max_images=args.max_images,
+    cls_boxes = np.zeros((num_classes, cap, 4), np.float32)
+    cls_scores = np.zeros((num_classes, cap), np.float32)
+    for j in range(num_classes):
+        sel = np.nonzero(labels == j)[0]
+        if len(sel) > cap:
+            sel = sel[np.argsort(-scores[sel])[:cap]]
+        cls_boxes[j, : len(sel)] = boxes[sel]
+        cls_scores[j, : len(sel)] = scores[sel]
+    new_scores = np.asarray(
+        jax.vmap(
+            lambda b, s: soft_nms(b, s, sigma=0.5, score_threshold=1e-3)[0]
+        )(jnp.asarray(cls_boxes), jnp.asarray(cls_scores))
     )
-    for k, v in stats.items():
-        logger.info("%s: %.4f", k, v)
+    out_b, out_s, out_l = [], [], []
+    for j in range(num_classes):
+        keep = new_scores[j] > 0
+        out_b.append(cls_boxes[j][keep])
+        out_s.append(new_scores[j][keep])
+        out_l.append(np.full(int(keep.sum()), j, np.int64))
+    return (np.concatenate(out_b) if out_b else np.zeros((0, 4)),
+            np.concatenate(out_s), np.concatenate(out_l))
 
+
+def centernet_evaluate(
+    model,
+    variables,
+    records: str,
+    num_classes: int = 80,
+    scales: Sequence[float] = (1.0,),
+    bucket: int = 128,
+    use_soft_nms: bool = True,
+    max_per_image: int = 100,
+    down_ratio: int = 4,
+    max_images: int = 0,
+    batch_size: int = 4,
+) -> Dict[str, float]:
+    """The reference's 28.7-mAP protocol: keep-res padded eval at native
+    scale, per-class soft-NMS, cross-class top-100 merge, optional
+    multi-scale. Images are grouped by padded-shape bucket so each bucket
+    compiles once and batches."""
+    # max_hw larger than any COCO frame so keep-res never host-downscales
+    ds = CocoDetection(records, max_hw=(1024, 1024), max_objs=128, keep_raw=True)
+    n = len(ds)
+    if max_images:
+        n = min(n, max_images)
+
+    @jax.jit
+    def predict(image):
+        return model.apply(variables, image, method=model.predict)
+
+    # accumulate raw (boxes, scores, labels) per image across scales
+    raw = defaultdict(lambda: ([], [], []))
+    for scale in scales:
+        groups = defaultdict(list)
+        for i in range(n):  # stored original hw; no jpeg decode needed yet
+            h, w = ds.records[i]["hw"]
+            groups[_keep_res_hw(int(h), int(w), scale, bucket)].append(i)
+        for (ih, iw), items in groups.items():
+            for start in range(0, len(items), batch_size):
+                chunk = items[start : start + batch_size]
+                exs = [ds[i] for i in chunk]
+                images = jnp.asarray(np.stack([e["image"] for e in exs]))
+                # scale-1 centered placement: output->input affine
+                affs = np.zeros((len(exs), 2, 3), np.float32)
+                metas = []
+                for bi, e in enumerate(exs):
+                    h, w = e["hw"]
+                    ox = (iw - w * scale) / 2.0
+                    oy = (ih - h * scale) / 2.0
+                    affs[bi] = [[1 / scale, 0, -ox / scale],
+                                [0, 1 / scale, -oy / scale]]
+                    metas.append((ox, oy))
+                pad = batch_size - len(exs)
+                if pad:  # keep the jit shape fixed within a bucket
+                    images = jnp.concatenate(
+                        [images, jnp.zeros((pad,) + images.shape[1:])], 0)
+                    affs = np.concatenate(
+                        [affs, np.tile(affs[-1:], (pad, 1, 1))], 0)
+                warped = warp_images(images, jnp.asarray(affs), (ih, iw))
+                det = np.asarray(predict(warped), np.float64)[: len(exs)]
+                for bi, e in enumerate(exs):
+                    ox, oy = metas[bi]
+                    b = det[bi, :, :4] * down_ratio
+                    x1 = (b[:, 0] - ox) / scale
+                    y1 = (b[:, 1] - oy) / scale
+                    x2 = (b[:, 2] - ox) / scale
+                    y2 = (b[:, 3] - oy) / scale
+                    bb, ss, ll = raw[int(e["image_id"])]
+                    bb.append(np.stack([x1, y1, x2, y2], -1))
+                    ss.append(det[bi, :, 4])
+                    ll.append(det[bi, :, 5].astype(np.int64))
+
+    predictions = {}
+    for img_id, (bb, ss, ll) in raw.items():
+        boxes = np.concatenate(bb).astype(np.float32)
+        scores = np.concatenate(ss).astype(np.float32)
+        labels = np.concatenate(ll)
+        if use_soft_nms:
+            boxes, scores, labels = _soft_nms_per_class(
+                boxes, scores, labels, num_classes,
+                cap=max(128, len(scales) * 128),
+            )
+        if len(scores) > max_per_image:  # top-100 merge (post_process.py:53-61)
+            kth = len(scores) - max_per_image
+            thresh = np.partition(scores, kth)[kth]
+            keep = scores >= thresh
+            boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
+        predictions[img_id] = {"boxes": boxes, "scores": scores,
+                               "labels": labels}
+    return evaluate_coco_detections(ds, predictions, num_classes)
+
+
+# ---------------------------------------------------------------------------
+# KITTI: full official table incl. camera-frame bbox AP + AOS
+# ---------------------------------------------------------------------------
 
 def kitti_evaluate(
     model,
     variables,
     records: str,
-    anchors,
-    voxel_size,
-    pc_range,
-    max_voxels: int = 16000,
-    max_points: int = 32,
-    classes=("Car",),
+    classes: Sequence[str] = ("Car",),
     batch_size: int = 4,
     max_frames: int = 0,
     score_threshold: float = 0.3,
+    metrics: Sequence[str] = ("bbox", "bev", "3d"),
+    compute_aos: bool = True,
 ) -> Dict[str, Dict]:
-    """PointPillars -> official KITTI AP (bbox skipped: no camera projection
-    for synthetic records; reports bev + 3d, the LiDAR-native metrics).
+    """PointPillars -> official KITTI AP over bbox/bev/3d (+AOS).
 
-    The device side is one fused program: voxelize + forward + decode +
-    rotated NMS (the reference splits this across host numba, device graph,
-    and a CPU custom op).
+    The device side is one fused program (voxelize + forward + decode +
+    rotated NMS via ``predict_from_points``); detections are then projected
+    lidar->camera->image exactly like ``predict_kitti_to_anno``
+    (predict.py:331-396) so the BASELINE bbox-AP/AOS numbers are computable.
+    GT annos come from the records' original camera-frame label fields
+    (difficulty filtering needs true 2D boxes/occlusion/truncation).
     """
-    import jax.numpy as jnp
-
-    from minddet_tpu.data.kitti import KittiDetection
+    from minddet_tpu.data.kitti import KittiDetection, detections_to_kitti_annos
     from minddet_tpu.data.kitti_eval import get_official_eval_result
-    from minddet_tpu.ops.voxelize import voxelize_batch
 
-    ds = KittiDetection(records)
+    ds = KittiDetection(records, keep_raw=True)
     n = len(ds)
     if max_frames:
         n = min(n, max_frames)
@@ -138,35 +246,9 @@ def kitti_evaluate(
 
     @jax.jit
     def predict(points, mask):
-        vox = voxelize_batch(
-            points, mask, tuple(voxel_size), tuple(pc_range), max_voxels, max_points
-        )
         return model.apply(
-            variables, vox.voxels, vox.num_points, vox.coords, jnp.asarray(anchors),
-            method=model.predict,
+            variables, points, mask, method=model.predict_from_points
         )
-
-    def to_kitti_anno(boxes7, scores, labels):
-        """lidar boxes -> KITTI-eval anno dict (camera-frame identity calib)."""
-        keep = scores > score_threshold
-        b = boxes7[keep]
-        # camera frame: x=-y_l, y=-z_l(top), z=x_l ; dims l,h,w ; ry=-yaw-pi/2
-        loc = np.stack([-b[:, 1], -(b[:, 2] + b[:, 5]), b[:, 0]], -1)
-        dims = np.stack([b[:, 4], b[:, 5], b[:, 3]], -1)  # l, h, w
-        ry = -b[:, 6] - np.pi / 2
-        name = np.asarray([classes[int(l)] if 0 <= l < len(classes) else "Car"
-                           for l in labels[keep]])
-        return {
-            "name": name,
-            "bbox": np.tile([0.0, 0.0, 200.0, 200.0], (len(b), 1)),
-            "location": loc.astype(np.float32),
-            "dimensions": dims.astype(np.float32),
-            "rotation_y": ry.astype(np.float32),
-            "alpha": np.zeros(len(b), np.float32),
-            "occluded": np.zeros(len(b), np.int64),
-            "truncated": np.zeros(len(b), np.float32),
-            "score": scores[keep].astype(np.float32),
-        }
 
     gt_annos, dt_annos = [], []
     for start in range(0, n, batch_size):
@@ -175,22 +257,145 @@ def kitti_evaluate(
         msk = jnp.asarray(np.stack([e["points_mask"] for e in exs]))
         out = predict(pts, msk)
         for bi, ex in enumerate(exs):
-            gm = ex["gt_mask"]
-            g = ex["gt_boxes"][gm]
-            gc = ex["gt_classes"][gm]
-            gt = to_kitti_anno(g, np.full(len(g), 2.0), gc - 1)
-            gt.pop("score")
-            gt_annos.append(gt)
-            dt_annos.append(
-                to_kitti_anno(
-                    np.asarray(out["boxes"][bi]),
-                    np.asarray(out["scores"][bi]),
-                    np.asarray(out["labels"][bi]),
-                )
-            )
+            gt_annos.append({
+                "name": np.asarray(ex["anno_name"]),
+                "bbox": ex["anno_bbox"],
+                "alpha": ex["anno_alpha"],
+                "occluded": ex["anno_occluded"],
+                "truncated": ex["anno_truncated"],
+                "location": ex["anno_location"],
+                "dimensions": ex["anno_dimensions"],
+                "rotation_y": ex["anno_rotation_y"],
+            })
+            sc = np.asarray(out["scores"][bi])
+            keep = sc > score_threshold
+            dt_annos.append(detections_to_kitti_annos(
+                np.asarray(out["boxes"][bi])[keep], sc[keep],
+                np.asarray(out["labels"][bi])[keep], classes,
+                np.asarray(ex["Trv2c_rect"]), np.asarray(ex["P2"]),
+                np.asarray(ex["img_shape"]),
+            ))
     return get_official_eval_result(
-        gt_annos, dt_annos, classes=classes, metrics=("bev", "3d")
+        gt_annos, dt_annos, classes=classes, metrics=metrics,
+        compute_aos=compute_aos,
     )
+
+
+# ---------------------------------------------------------------------------
+# Segmentation mIoU
+# ---------------------------------------------------------------------------
+
+def segmentation_evaluate(
+    model, variables, records: str, num_classes: int,
+    batch_size: int = 8, max_images: int = 0,
+) -> Dict[str, float]:
+    """Records with (image, mask) pairs -> mIoU via the fused predict."""
+    from minddet_tpu.data.records import RecordDataset
+    from minddet_tpu.models.segmentors import miou
+
+    ds = RecordDataset(records)
+    n = len(ds)
+    if max_images:
+        n = min(n, max_images)
+    n -= n % batch_size
+
+    @jax.jit
+    def predict(image):
+        return model.apply(variables, image, method=model.predict)
+
+    inter = np.zeros(num_classes)
+    union = np.zeros(num_classes)
+    for start in range(0, n, batch_size):
+        recs = [ds[i] for i in range(start, start + batch_size)]
+        images = jnp.asarray(
+            np.stack([r["image"] for r in recs]).astype(np.float32)
+        )
+        target = np.stack([r["mask"] for r in recs])
+        pred = np.asarray(predict(images))
+        for c in range(num_classes):
+            inter[c] += np.sum((pred == c) & (target == c))
+            union[c] += np.sum((pred == c) | (target == c))
+    per_class = inter / np.maximum(union, 1)
+    present = union > 0
+    stats = {"miou": float(per_class[present].mean()) if present.any() else 0.0}
+    _ = miou  # protocol shared with the in-train metric
+    return stats
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(description="minddet_tpu evaluator")
+    p.add_argument("--config", required=True)
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--records", required=True)
+    p.add_argument("--max-images", type=int, default=0)
+    p.add_argument("--protocol", default=None,
+                   choices=[None, "coco", "centernet", "kitti", "miou"],
+                   help="override the data-type-derived eval protocol")
+    p.add_argument("--options", nargs="*", default=[])
+    args = p.parse_args(argv)
+
+    cfg = Config.fromfile(args.config).merge_from_options(args.options)
+    mcfg = dict(cfg.model)
+    model = DETECTORS.build(mcfg)
+    image_hw = tuple(cfg.train.get("image_hw", (512, 512)))
+    data_type = cfg.data.get("type", "coco") if "data" in cfg else "coco"
+    protocol = args.protocol
+    if protocol is None:
+        if data_type == "kitti":
+            protocol = "kitti"
+        elif data_type == "seg":
+            protocol = "miou"
+        elif mcfg.get("type") == "CenterNet":
+            protocol = "centernet"
+        else:
+            protocol = "coco"
+
+    # init variables with the protocol-appropriate input signature
+    if protocol == "kitti":
+        pts = jnp.zeros((1, 512, 4))
+        variables = model.init(
+            jax.random.PRNGKey(0), pts, jnp.ones((1, 512), bool),
+            method=model.predict_from_points,
+        )
+    else:
+        image = jnp.zeros((1,) + image_hw + (3,))
+        variables = model.init(jax.random.PRNGKey(0), image)
+    if args.checkpoint:
+        from minddet_tpu.core.checkpoint import load_pytree
+
+        restored = load_pytree(args.checkpoint)
+        variables = {"params": restored["params"],
+                     "batch_stats": restored.get("batch_stats", {})}
+
+    num_classes = int(mcfg.get("num_classes", 80))
+    if protocol == "kitti":
+        classes = tuple(cfg.data.get("classes", ("Car",)))
+        table = kitti_evaluate(
+            model, variables, args.records, classes=classes,
+            max_frames=args.max_images,
+        )
+        for cls, ms in table.items():
+            for metric, aps in ms.items():
+                logger.info("%s %s AP: %s", cls, metric,
+                            " / ".join(f"{a:.2f}" for a in aps))
+        return
+    if protocol == "miou":
+        stats = segmentation_evaluate(
+            model, variables, args.records, num_classes,
+            max_images=args.max_images,
+        )
+    elif protocol == "centernet":
+        stats = centernet_evaluate(
+            model, variables, args.records, num_classes,
+            max_images=args.max_images,
+        )
+    else:
+        stats = coco_evaluate(
+            model, variables, args.records, image_hw, num_classes,
+            max_images=args.max_images,
+        )
+    for k, v in stats.items():
+        logger.info("%s: %.4f", k, v)
 
 
 if __name__ == "__main__":

@@ -147,16 +147,76 @@ def test_nuscenes_misses_lower_map():
     assert 0.2 < out["mAP"] < 0.6
 
 
+# realistic KITTI-style calib: camera x=-y_l, y=-z_l (down), z=x_l
+_TRV2C_RECT = np.array(
+    [[0, -1, 0, 0], [0, 0, -1, 0.08], [1, 0, 0, -0.27], [0, 0, 0, 1]],
+    np.float32,
+)
+_P2 = np.array([[500.0, 0, 600, 0], [0, 500, 180, 0], [0, 0, 1, 0]], np.float32)
+
+
+def test_camera_lidar_roundtrip():
+    """lidar_box_to_camera inverts camera_to_lidar_boxes exactly."""
+    from minddet_tpu.data.kitti import camera_to_lidar_boxes, lidar_box_to_camera
+
+    objs = [
+        {"location": np.array([2.0, 1.5, 8.0], np.float32),
+         "dimensions": np.array([4.2, 1.6, 1.8], np.float32),  # l, h, w
+         "rotation_y": 0.4},
+        {"location": np.array([-3.0, 1.4, 15.0], np.float32),
+         "dimensions": np.array([3.8, 1.5, 1.7], np.float32),
+         "rotation_y": -1.2},
+    ]
+    calib = {"R0_rect": np.eye(4, dtype=np.float32),
+             "Tr_velo_to_cam": _TRV2C_RECT}
+    lidar = camera_to_lidar_boxes(objs, calib)
+    cam = lidar_box_to_camera(lidar, _TRV2C_RECT)
+    for i, o in enumerate(objs):
+        np.testing.assert_allclose(cam[i, :3], o["location"], atol=1e-5)
+        np.testing.assert_allclose(cam[i, 3:6], o["dimensions"], atol=1e-5)
+        # angles equal modulo 2pi
+        d = (cam[i, 6] - o["rotation_y"]) % (2 * np.pi)
+        assert min(d, 2 * np.pi - d) < 1e-5
+
+
+def test_detections_to_kitti_annos_projection():
+    """Projected 2D bbox sits where the pinhole model says it should."""
+    from minddet_tpu.data.kitti import detections_to_kitti_annos
+
+    # car 10 m ahead on the lidar x axis, on the ground
+    boxes7 = np.array([[10.0, 0.0, -1.6, 1.8, 4.2, 1.5, 0.0]], np.float32)
+    anno = detections_to_kitti_annos(
+        boxes7, np.array([0.9]), np.array([0]), ("Car",),
+        _TRV2C_RECT, _P2, (375, 1242),
+    )
+    assert list(anno["name"]) == ["Car"]
+    bbox = anno["bbox"][0]
+    # yaw=0 heads into depth: image width shows the car's WIDTH (+-0.9 m)
+    # at z in [7.6, 11.8] -> u = 600 +- 500*0.9/z
+    assert 520 < bbox[0] < 580 and 620 < bbox[2] < 680
+    # bottom face y=1.68, top y=0.18 -> v in ~[187, 291]
+    assert 180 < bbox[1] < 200 and 240 < bbox[3] < 300
+    assert np.isfinite(anno["alpha"][0])
+    # a detection behind the camera plane is dropped
+    behind = np.array([[-5.0, 0.0, -1.6, 1.8, 4.2, 1.5, 0.0]], np.float32)
+    anno2 = detections_to_kitti_annos(
+        behind, np.array([0.9]), np.array([0]), ("Car",),
+        _TRV2C_RECT, _P2, (375, 1242),
+    )
+    assert len(anno2["name"]) == 0
+
+
 @pytest.mark.slow
 def test_kitti_eval_cli_path(tmp_path):
-    """Full PointPillars -> KITTI-AP plumbing on synthetic records (untrained
-    model; asserts protocol table structure + finiteness, not accuracy)."""
+    """Full PointPillars -> official-KITTI-AP plumbing on synthetic records
+    (untrained model; asserts protocol table structure incl. bbox/AOS, not
+    accuracy)."""
     import jax
     import jax.numpy as jnp
 
+    from minddet_tpu.data.kitti import detections_to_kitti_annos
     from minddet_tpu.data.records import write_records
     from minddet_tpu.models.detectors.pointpillars import PointPillars
-    from minddet_tpu.ops.anchors import create_anchors_3d_stride
     from minddet_tpu.train.evaluate import kitti_evaluate
 
     rng = np.random.RandomState(0)
@@ -165,30 +225,46 @@ def test_kitti_eval_cli_path(tmp_path):
     for _ in range(4):
         pts = np.stack([rng.uniform(0.2, 6.2, 500), rng.uniform(-3, 3, 500),
                         rng.uniform(-2.5, 0.5, 500), rng.uniform(0, 1, 500)], -1)
+        gt7 = np.array([[3.0, 0.0, -1.8, 1.6, 3.9, 1.56, 0.1]], np.float32)
+        gt_anno = detections_to_kitti_annos(
+            gt7, np.array([1.0]), np.array([0]), ("Car",),
+            _TRV2C_RECT, _P2, (375, 1242),
+        )
         exs.append({
             "points": pts.astype(np.float32),
-            "gt_boxes": np.array([[3.0, 0.0, -1.8, 1.6, 3.9, 1.56, 0.1]], np.float32),
+            "gt_boxes": gt7,
             "gt_classes": np.array([1], np.int32),
+            "P2": _P2,
+            "Trv2c_rect": _TRV2C_RECT,
+            "img_shape": np.array([375, 1242], np.int32),
+            "anno_name": np.asarray(gt_anno["name"], dtype="U16"),
+            "anno_bbox": gt_anno["bbox"],
+            "anno_alpha": gt_anno["alpha"],
+            "anno_occluded": gt_anno["occluded"],
+            "anno_truncated": gt_anno["truncated"],
+            "anno_location": gt_anno["location"],
+            "anno_dimensions": gt_anno["dimensions"],
+            "anno_rotation_y": gt_anno["rotation_y"],
         })
     write_records(str(tmp_path / "kitti"), exs)
 
-    model = PointPillars(num_classes=1, grid_ny=32, grid_nx=32,
-                         voxel_size=VS, pc_range=PCR,
-                         rpn_filters=(32, 64, 128), rpn_up_filters=(32, 32, 32))
-    anchors = create_anchors_3d_stride(
-        (16, 16), anchor_strides=(0.4, 0.4, 0.0), anchor_offsets=(0.2, -3.0, -1.78)
-    ).reshape(-1, 7)
-    from minddet_tpu.ops.voxelize import voxelize_batch
-
-    pts0 = np.zeros((1, 20000, 4), np.float32)
-    vox = voxelize_batch(jnp.asarray(pts0), jnp.ones((1, 20000), bool), VS, PCR, 256, 8)
-    variables = model.init(jax.random.PRNGKey(0), vox.voxels, vox.num_points, vox.coords)
+    model = PointPillars(
+        num_classes=1, grid_ny=32, grid_nx=32, voxel_size=VS, pc_range=PCR,
+        rpn_filters=(32, 64, 128), rpn_up_filters=(32, 32, 32),
+        anchor_sizes=((1.6, 3.9, 1.56),), anchor_strides=((0.4, 0.4, 0.0),),
+        anchor_offsets=((0.2, -3.0, -1.78),), max_voxels=256,
+        max_points_per_voxel=8,
+    )
+    pts0 = jnp.zeros((1, 500, 4))
+    variables = model.init(jax.random.PRNGKey(0), pts0,
+                           jnp.ones((1, 500), bool),
+                           method=model.predict_from_points)
 
     table = kitti_evaluate(
-        model, variables, str(tmp_path / "kitti-*.arrayrecord"), anchors,
-        VS, PCR, max_voxels=256, max_points=8, score_threshold=0.0,
+        model, variables, str(tmp_path / "kitti-*.arrayrecord"),
+        score_threshold=0.0, batch_size=4,
     )
-    assert set(table["Car"].keys()) == {"bev", "3d"}
+    assert set(table["Car"].keys()) == {"bbox", "bev", "3d", "aos"}
     for v in table["Car"].values():
         assert len(v) == 3 and all(np.isfinite(x) for x in v)
 

@@ -150,3 +150,56 @@ def test_coco_batches_mosaic_path(tmp_path):
     import numpy as _np
 
     assert _np.asarray(batch["gt_mask"]).sum() > 0
+
+
+def test_keep_res_bucketing():
+    from minddet_tpu.train.evaluate import _keep_res_hw
+
+    # (dim|31)+1 then rounded up to the bucket; always a multiple of 32
+    assert _keep_res_hw(480, 640, 1.0, 32) == (512, 672)
+    assert _keep_res_hw(480, 640, 1.0, 128) == (512, 768)
+    assert _keep_res_hw(100, 100, 1.0, 128) == (128, 128)
+    ih, iw = _keep_res_hw(375, 1242, 0.5, 128)
+    assert ih % 32 == 0 and iw % 32 == 0
+    assert ih >= int(375 * 0.5) and iw >= int(1242 * 0.5)
+
+
+def test_soft_nms_per_class_suppresses_within_class_only():
+    from minddet_tpu.train.evaluate import _soft_nms_per_class
+
+    # two near-identical car boxes + one identical box of another class
+    boxes = np.array(
+        [[10, 10, 50, 50], [11, 11, 51, 51], [10, 10, 50, 50]], np.float32
+    )
+    scores = np.array([0.9, 0.8, 0.7], np.float32)
+    labels = np.array([0, 0, 1], np.int64)
+    b, s, l = _soft_nms_per_class(boxes, scores, labels, num_classes=2)
+    s0 = s[l == 0]
+    # the duplicate same-class box is decayed, the cross-class one is not
+    assert s0.max() > 0.85 and s0.min() < 0.4
+    np.testing.assert_allclose(s[l == 1], [0.7], atol=1e-5)
+
+
+@pytest.mark.slow
+def test_centernet_keep_res_protocol_path(tmp_path):
+    """The baseline-protocol eval path (keep-res buckets + soft-NMS + top-100
+    merge) runs end to end on variable-size images without per-image
+    recompiles beyond the bucket set."""
+    import jax
+    import jax.numpy as jnp
+
+    from minddet_tpu.data.coco import convert_coco_to_records
+    from minddet_tpu.models.detectors.centernet import CenterNet
+    from minddet_tpu.train.evaluate import centernet_evaluate
+
+    ann, imgs = _make_coco(tmp_path)
+    convert_coco_to_records(ann, imgs, str(tmp_path / "rec"))
+
+    model = CenterNet(num_classes=3, depth=18, dcn=False)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    stats = centernet_evaluate(
+        model, variables, str(tmp_path / "rec-*.arrayrecord"), num_classes=3,
+        bucket=128, batch_size=2,
+    )
+    assert {"AP", "AP50", "AP75", "AR@100"} <= set(stats)
+    assert all(np.isfinite(v) for v in stats.values())
