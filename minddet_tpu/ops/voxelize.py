@@ -129,12 +129,15 @@ def decorate_pillar_features(
     point_cloud_range: Sequence[float],
     with_distance: bool = False,
 ) -> jnp.ndarray:
-    """Append cluster-offset and center-offset channels (4 -> 10 features).
+    """Append cluster-offset and center-offset channels (4 -> 9 features).
 
     Mirrors ``PillarFeatureNet.construct``'s decoration
     (``pointpillars/src/pointpillars.py:226-320``): per-point offsets from the
-    pillar's point mean (f_cluster) and from the pillar's geometric center
-    (f_center), with empty slots re-zeroed.
+    pillar's point mean (f_cluster, xyz) and from the pillar's geometric
+    center (f_center, xy ONLY — matching the reference keeps the PFN input
+    layout 1:1 convertible from reference checkpoints; a z center offset
+    would be a constant shift anyway since pillars span the full z range),
+    with empty slots re-zeroed.
     """
     b, v, p, f = voxels.shape
     vs = jnp.asarray(voxel_size, jnp.float32)
@@ -149,11 +152,10 @@ def decorate_pillar_features(
         [
             coords[..., 2].astype(jnp.float32) * vs[0] + (vs[0] / 2 + pcr[0]),
             coords[..., 1].astype(jnp.float32) * vs[1] + (vs[1] / 2 + pcr[1]),
-            coords[..., 0].astype(jnp.float32) * vs[2] + (vs[2] / 2 + pcr[2]),
         ],
         axis=-1,
-    )  # (B, V, 3)
-    f_center = voxels[..., :3] - centers[:, :, None, :]
+    )  # (B, V, 2)
+    f_center = voxels[..., :2] - centers[:, :, None, :]
 
     feats = [voxels, f_cluster, f_center]
     if with_distance:

@@ -201,3 +201,267 @@ def test_ema_optimizer():
     assert ema is not None
     # EMA must lag the raw update trajectory
     assert float(jnp.abs(ema["w"] - params["w"]).max()) > 1e-6
+
+
+# ---------------------------------------------------------------------------
+# PointPillars / CenterPoint rename tables: numeric parity against torch
+# mirrors built with the SOURCE repos' module naming (second.pytorch / det3d)
+# ---------------------------------------------------------------------------
+
+def _torch_second_rpn(in_ch, layer_nums, strides, filters, up_strides,
+                      up_filters, seed=0):
+    """torch mirror of second.pytorch's RPN Sequential layout
+    (pointpillars/src/pointpillars.py:367-470): blocks =
+    [ZeroPad2d, Conv2d(stride), BN, ReLU, (Conv2d, BN, ReLU)*n],
+    deblocks = [ConvTranspose2d(k=s), BN, ReLU]."""
+    import torch.nn as tnn
+
+    torch.manual_seed(seed)
+    blocks, deblocks = [], []
+    cin = in_ch
+    for n, s, f, us, uf in zip(layer_nums, strides, filters, up_strides,
+                               up_filters):
+        mods = [tnn.ZeroPad2d(1), tnn.Conv2d(cin, f, 3, stride=s, bias=False),
+                tnn.BatchNorm2d(f, eps=1e-3), tnn.ReLU()]
+        for _ in range(n):
+            mods += [tnn.Conv2d(f, f, 3, padding=1, bias=False),
+                     tnn.BatchNorm2d(f, eps=1e-3), tnn.ReLU()]
+        blocks.append(tnn.Sequential(*mods))
+        deblocks.append(tnn.Sequential(
+            tnn.ConvTranspose2d(f, uf, us, stride=us, bias=False),
+            tnn.BatchNorm2d(uf, eps=1e-3), tnn.ReLU()))
+        cin = f
+
+    class RPN(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.blocks = tnn.ModuleList(blocks)
+            self.deblocks = tnn.ModuleList(deblocks)
+
+        def forward(self, x):
+            ups = []
+            for b, d in zip(self.blocks, self.deblocks):
+                x = b(x)
+                ups.append(d(x))
+            return torch.cat(ups, dim=1)
+
+    rpn = RPN().eval()
+    with torch.no_grad():  # randomize BN stats to catch mean/var routing
+        for m in rpn.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+                m.weight.uniform_(0.5, 1.5)
+                m.bias.uniform_(-0.5, 0.5)
+    return rpn
+
+
+def test_pointpillars_rpn_conversion_parity():
+    """POINTPILLARS_RULES reproduce torch numerics bit-close through the full
+    SECOND RPN (incl. the flipped transposed-conv kernels)."""
+    from minddet_tpu.models.necks.second_rpn import SECONDRPN
+    from minddet_tpu.utils.convert import convert_pointpillars
+
+    cfg = dict(layer_nums=(2, 2), strides=(2, 2), filters=(16, 32),
+               up_strides=(1, 2), up_filters=(16, 16))
+    trpn = _torch_second_rpn(8, **cfg)
+    sd = {f"rpn.{k}": v for k, v in trpn.state_dict().items()}
+    converted = convert_pointpillars(sd)
+
+    frpn = SECONDRPN(layer_nums=cfg["layer_nums"], layer_strides=cfg["strides"],
+                     num_filters=cfg["filters"],
+                     upsample_strides=cfg["up_strides"],
+                     num_upsample_filters=cfg["up_filters"])
+    x = np.random.RandomState(1).randn(2, 16, 16, 8).astype(np.float32)
+    variables = frpn.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    rep = report_mismatches(converted["params"]["rpn"], variables["params"])
+    assert not rep["missing"] and not rep["shape_mismatch"], rep
+    loaded = apply_converted(
+        variables,
+        {"params": converted["params"]["rpn"],
+         "batch_stats": converted["batch_stats"]["rpn"]},
+        strict=True,
+    )
+    got = np.asarray(frpn.apply(loaded, jnp.asarray(x)))
+    with torch.no_grad():
+        expect = trpn(torch.from_numpy(x.transpose(0, 3, 1, 2))).numpy()
+    np.testing.assert_allclose(
+        got, expect.transpose(0, 2, 3, 1), rtol=1e-4, atol=1e-4
+    )
+
+
+def test_centerpoint_head_conversion_parity():
+    """CENTERPOINT_RULES map det3d's shared_conv + per-task SepHead naming
+    onto our CenterHead with numeric parity."""
+    import torch.nn as tnn
+
+    from minddet_tpu.models.heads.center_head import CenterHead
+    from minddet_tpu.utils.convert import convert_centerpoint
+
+    torch.manual_seed(3)
+    branches = ("reg", "height", "dim", "rot", "vel", "hm")
+    out_ch = {"reg": 2, "height": 1, "dim": 3, "rot": 2, "vel": 2}
+
+    class Task(tnn.Module):
+        def __init__(self, ncls):
+            super().__init__()
+            for b in branches:
+                oc = out_ch.get(b, ncls)
+                setattr(self, b, tnn.Sequential(
+                    tnn.Conv2d(64, 64, 3, padding=1), tnn.BatchNorm2d(64),
+                    tnn.ReLU(), tnn.Conv2d(64, oc, 3, padding=1)))
+
+        def forward(self, x):
+            return {b: getattr(self, b)(x) for b in branches}
+
+    class Head(tnn.Module):
+        def __init__(self, task_classes):
+            super().__init__()
+            self.shared_conv = tnn.Sequential(
+                tnn.Conv2d(24, 64, 3, padding=1), tnn.BatchNorm2d(64),
+                tnn.ReLU())
+            self.tasks = tnn.ModuleList([Task(n) for n in task_classes])
+
+        def forward(self, x):
+            x = self.shared_conv(x)
+            return [t(x) for t in self.tasks]
+
+    th = Head((1, 2)).eval()
+    with torch.no_grad():
+        for m in th.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 2.0)
+    sd = {f"bbox_head.{k}": v for k, v in th.state_dict().items()}
+    converted = convert_centerpoint(sd)
+
+    fhead = CenterHead(task_num_classes=(1, 2))
+    x = np.random.RandomState(2).randn(1, 8, 8, 24).astype(np.float32)
+    variables = fhead.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    rep = report_mismatches(converted["params"]["head"], variables["params"])
+    assert not rep["missing"] and not rep["shape_mismatch"], rep
+    loaded = apply_converted(
+        variables,
+        {"params": converted["params"]["head"],
+         "batch_stats": converted["batch_stats"]["head"]},
+        strict=True,
+    )
+    got = fhead.apply(loaded, jnp.asarray(x))
+    with torch.no_grad():
+        expect = th(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    for t in range(2):
+        for b in branches:
+            np.testing.assert_allclose(
+                np.asarray(got[t][b]),
+                expect[t][b].numpy().transpose(0, 2, 3, 1),
+                rtol=1e-4, atol=1e-4, err_msg=f"task{t}/{b}",
+            )
+
+
+def _fake_bn(sd, name, c):
+    for leaf, val in (("weight", np.random.rand(c)),
+                      ("bias", np.random.rand(c)),
+                      ("running_mean", np.random.rand(c)),
+                      ("running_var", np.random.rand(c) + 0.5)):
+        sd[f"{name}.{leaf}"] = val.astype(np.float32)
+
+
+def test_pointpillars_rule_coverage_against_model():
+    """Every parameter scope of the real PointPillars model is reachable from
+    a second.pytorch-style name (VERDICT r1 Missing #5)."""
+    from minddet_tpu.models.detectors.pointpillars import PointPillars
+    from minddet_tpu.utils.convert import convert_pointpillars
+
+    sd = {}
+    sd["voxel_feature_extractor.pfn_layers.0.linear.weight"] = \
+        np.random.randn(64, 9).astype(np.float32)
+    _fake_bn(sd, "voxel_feature_extractor.pfn_layers.0.norm", 64)
+    cin = 64
+    for bi, (n, f) in enumerate(zip((3, 5, 5), (64, 128, 256))):
+        sd[f"rpn.blocks.{bi}.1.weight"] = \
+            np.random.randn(f, cin, 3, 3).astype(np.float32)
+        _fake_bn(sd, f"rpn.blocks.{bi}.2", f)
+        for j in range(n):
+            sd[f"rpn.blocks.{bi}.{4 + 3 * j}.weight"] = \
+                np.random.randn(f, f, 3, 3).astype(np.float32)
+            _fake_bn(sd, f"rpn.blocks.{bi}.{5 + 3 * j}", f)
+        cin = f
+    for bi, (us, f) in enumerate(zip((1, 2, 4), (64, 128, 256))):
+        sd[f"rpn.deblocks.{bi}.0.weight"] = \
+            np.random.randn(f, 128, us, us).astype(np.float32)
+        _fake_bn(sd, f"rpn.deblocks.{bi}.1", 128)
+    for head, c in (("conv_cls", 2), ("conv_box", 14), ("conv_dir_cls", 4)):
+        sd[f"rpn.{head}.weight"] = np.random.randn(c, 384, 1, 1).astype(np.float32)
+        sd[f"rpn.{head}.bias"] = np.random.randn(c).astype(np.float32)
+
+    converted = convert_pointpillars(sd)
+    model = PointPillars(num_classes=1)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 4, 4)),
+        jnp.ones((1, 64), jnp.int32), jnp.zeros((1, 64, 3), jnp.int32),
+    )
+    for col in ("params", "batch_stats"):
+        rep = report_mismatches(converted[col], variables[col])
+        assert not rep["missing"], (col, rep["missing"][:8])
+        assert not rep["unexpected"], (col, rep["unexpected"][:8])
+        assert not rep["shape_mismatch"], (col, rep["shape_mismatch"][:8])
+
+
+def test_centerpoint_rule_coverage_against_model():
+    """Every parameter scope of the real CenterPoint model (6-task nuScenes
+    config incl. the fractional up0 down-conv) is reachable from a det3d-style
+    name (reference point_pillars.py:137-168 map)."""
+    from minddet_tpu.models.detectors.centerpoint import CenterPoint
+    from minddet_tpu.utils.convert import convert_centerpoint
+
+    sd = {}
+    for i, cin in enumerate((10, 64)):  # 5 raw + 3 cluster + 2 center (det3d)
+        sd[f"reader.pfn_layers.{i}.linear.weight"] = \
+            np.random.randn(64, cin).astype(np.float32)
+        _fake_bn(sd, f"reader.pfn_layers.{i}.norm", 64)
+    cin = 64
+    for bi, (n, f) in enumerate(zip((3, 5, 5), (64, 128, 256))):
+        sd[f"neck.blocks.{bi}.1.weight"] = \
+            np.random.randn(f, cin, 3, 3).astype(np.float32)
+        _fake_bn(sd, f"neck.blocks.{bi}.2", f)
+        for j in range(n):
+            sd[f"neck.blocks.{bi}.{4 + 3 * j}.weight"] = \
+                np.random.randn(f, f, 3, 3).astype(np.float32)
+            _fake_bn(sd, f"neck.blocks.{bi}.{5 + 3 * j}", f)
+        cin = f
+    # deblock 0: fractional 0.5 stride -> Conv2d(64, 128, 2, stride=2)
+    sd["neck.deblocks.0.0.weight"] = np.random.randn(128, 64, 2, 2).astype(np.float32)
+    _fake_bn(sd, "neck.deblocks.0.1", 128)
+    for bi, (us, f) in enumerate(zip((2, 4), (128, 256)), start=1):
+        sd[f"neck.deblocks.{bi}.0.weight"] = \
+            np.random.randn(f, 128, us, us).astype(np.float32)
+        _fake_bn(sd, f"neck.deblocks.{bi}.1", 128)
+    sd["bbox_head.shared_conv.0.weight"] = \
+        np.random.randn(64, 384, 3, 3).astype(np.float32)
+    sd["bbox_head.shared_conv.0.bias"] = np.random.randn(64).astype(np.float32)
+    _fake_bn(sd, "bbox_head.shared_conv.1", 64)
+    out_ch = {"reg": 2, "height": 1, "dim": 3, "rot": 2, "vel": 2}
+    for t, ncls in enumerate((1, 2, 2, 1, 2, 2)):
+        for b in ("reg", "height", "dim", "rot", "vel", "hm"):
+            oc = out_ch.get(b, ncls)
+            sd[f"bbox_head.tasks.{t}.{b}.0.weight"] = \
+                np.random.randn(64, 64, 3, 3).astype(np.float32)
+            sd[f"bbox_head.tasks.{t}.{b}.0.bias"] = \
+                np.random.randn(64).astype(np.float32)
+            _fake_bn(sd, f"bbox_head.tasks.{t}.{b}.1", 64)
+            sd[f"bbox_head.tasks.{t}.{b}.3.weight"] = \
+                np.random.randn(oc, 64, 3, 3).astype(np.float32)
+            sd[f"bbox_head.tasks.{t}.{b}.3.bias"] = \
+                np.random.randn(oc).astype(np.float32)
+
+    converted = convert_centerpoint(sd)
+    model = CenterPoint()
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 4, 5)),
+        jnp.ones((1, 64), jnp.int32), jnp.zeros((1, 64, 3), jnp.int32),
+    )
+    for col in ("params", "batch_stats"):
+        rep = report_mismatches(converted[col], variables[col])
+        assert not rep["missing"], (col, rep["missing"][:8])
+        assert not rep["unexpected"], (col, rep["unexpected"][:8])
+        assert not rep["shape_mismatch"], (col, rep["shape_mismatch"][:8])

@@ -115,7 +115,8 @@ def test_decorate_features():
     feats = decorate_pillar_features(
         out.voxels[None], out.num_points[None], out.coords[None], VS, PCR
     )
-    assert feats.shape == (1, 500, 8, 10)
+    # 4 raw + 3 cluster offsets + 2 center offsets (xy only, reference layout)
+    assert feats.shape == (1, 500, 8, 9)
     f = np.asarray(feats)[0]
     counts = np.asarray(out.num_points)
     # padded slots must be exactly zero
