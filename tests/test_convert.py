@@ -415,10 +415,13 @@ def test_centerpoint_rule_coverage_against_model():
     from minddet_tpu.utils.convert import convert_centerpoint
 
     sd = {}
-    for i, cin in enumerate((10, 64)):  # 5 raw + 3 cluster + 2 center (det3d)
+    # two-PFN reader: the non-final layer halves its units and concats the
+    # max (det3d PFNLayer last_layer=False -> 64//2=32 units); in = 10
+    # features (5 raw + 3 cluster + 2 center)
+    for i, (cin, cout) in enumerate(((10, 32), (64, 64))):
         sd[f"reader.pfn_layers.{i}.linear.weight"] = \
-            np.random.randn(64, cin).astype(np.float32)
-        _fake_bn(sd, f"reader.pfn_layers.{i}.norm", 64)
+            np.random.randn(cout, cin).astype(np.float32)
+        _fake_bn(sd, f"reader.pfn_layers.{i}.norm", cout)
     cin = 64
     for bi, (n, f) in enumerate(zip((3, 5, 5), (64, 128, 256))):
         sd[f"neck.blocks.{bi}.1.weight"] = \
@@ -432,7 +435,8 @@ def test_centerpoint_rule_coverage_against_model():
     # deblock 0: fractional 0.5 stride -> Conv2d(64, 128, 2, stride=2)
     sd["neck.deblocks.0.0.weight"] = np.random.randn(128, 64, 2, 2).astype(np.float32)
     _fake_bn(sd, "neck.deblocks.0.1", 128)
-    for bi, (us, f) in enumerate(zip((2, 4), (128, 256)), start=1):
+    # upsample strides (0.5, 1, 2): deblocks 1 and 2 are deconvs k=s=1 and 2
+    for bi, (us, f) in enumerate(zip((1, 2), (128, 256)), start=1):
         sd[f"neck.deblocks.{bi}.0.weight"] = \
             np.random.randn(f, 128, us, us).astype(np.float32)
         _fake_bn(sd, f"neck.deblocks.{bi}.1", 128)
