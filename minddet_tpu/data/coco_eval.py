@@ -41,18 +41,41 @@ def _iou_with_crowd(dt: np.ndarray, gt: np.ndarray, iscrowd: np.ndarray) -> np.n
     return inter / np.maximum(union, 1e-9)
 
 
+def _mask_iou_with_crowd(
+    dt_masks: np.ndarray, gt_masks: np.ndarray, iscrowd: np.ndarray
+) -> np.ndarray:
+    """(D, G) mask IoU (pycocotools segm mode); crowd denominator = dt area."""
+    if len(dt_masks) == 0 or len(gt_masks) == 0:
+        return np.zeros((len(dt_masks), len(gt_masks)))
+    d = dt_masks.reshape(len(dt_masks), -1).astype(np.float64)
+    g = gt_masks.reshape(len(gt_masks), -1).astype(np.float64)
+    inter = d @ g.T
+    area_d = d.sum(1)
+    area_g = g.sum(1)
+    union = area_d[:, None] + area_g[None, :] - inter
+    union = np.where(iscrowd[None, :], area_d[:, None], union)
+    return inter / np.maximum(union, 1e-9)
+
+
 def _evaluate_img(dts, gts, area_rng, max_det):
     """Per-(image, category) matching at all IoU thresholds.
 
-    dts: dict(boxes (D,4), scores (D,)); gts: dict(boxes (G,4), iscrowd (G,)).
+    dts: dict(boxes (D,4), scores (D,), optional masks (D,H,W));
+    gts: dict(boxes (G,4), iscrowd (G,), optional masks (G,H,W)).
+    With masks present (segm mode) IoU and areas come from the masks.
     Returns dt_matches (T, D'), dt_ignore (T, D'), dt_scores (D'),
     gt_ignore (G,), num_nonignored_gt.
     """
     g_boxes = gts["boxes"]
+    segm = gts.get("masks") is not None
     crowd = gts["iscrowd"].astype(bool)
-    g_area = (g_boxes[:, 2] - g_boxes[:, 0]) * (g_boxes[:, 3] - g_boxes[:, 1]) if len(
-        g_boxes
-    ) else np.zeros(0)
+    if segm:
+        g_area = gts["masks"].reshape(len(g_boxes), -1).sum(1).astype(np.float64)
+    else:
+        g_area = (
+            (g_boxes[:, 2] - g_boxes[:, 0]) * (g_boxes[:, 3] - g_boxes[:, 1])
+            if len(g_boxes) else np.zeros(0)
+        )
     gt_ig = crowd | (g_area < area_rng[0]) | (g_area > area_rng[1])
 
     # sort GT: non-ignored first (pycocotools gtind ordering)
@@ -65,7 +88,12 @@ def _evaluate_img(dts, gts, area_rng, max_det):
     d_boxes = dts["boxes"][d_ord]
     d_scores = dts["scores"][d_ord]
 
-    ious = _iou_with_crowd(d_boxes, g_boxes, crowd)
+    if segm:
+        ious = _mask_iou_with_crowd(
+            dts["masks"][d_ord], gts["masks"][g_ord], crowd
+        )
+    else:
+        ious = _iou_with_crowd(d_boxes, g_boxes, crowd)
     t_n = len(IOU_THRS)
     d_n, g_n = len(d_boxes), len(g_boxes)
     dt_m = np.zeros((t_n, d_n), np.int64) - 1  # matched gt index or -1
@@ -93,7 +121,12 @@ def _evaluate_img(dts, gts, area_rng, max_det):
             gt_m[ti, m] = di
 
     # detections outside the area range that matched nothing are ignored
-    d_area = (d_boxes[:, 2] - d_boxes[:, 0]) * (d_boxes[:, 3] - d_boxes[:, 1]) if d_n else np.zeros(0)
+    if segm and d_n:
+        d_area = dts["masks"][d_ord].reshape(d_n, -1).sum(1).astype(np.float64)
+    elif d_n:
+        d_area = (d_boxes[:, 2] - d_boxes[:, 0]) * (d_boxes[:, 3] - d_boxes[:, 1])
+    else:
+        d_area = np.zeros(0)
     out_of_rng = (d_area < area_rng[0]) | (d_area > area_rng[1])
     dt_ig = dt_ig | ((dt_m == -1) & out_of_rng[None, :])
     return dt_m >= 0, dt_ig, d_scores, int(np.sum(~gt_ig))
@@ -121,15 +154,24 @@ class COCOEvaluator:
         dt_scores: np.ndarray,
         gt_boxes: np.ndarray,
         gt_iscrowd: Optional[np.ndarray] = None,
+        dt_masks: Optional[np.ndarray] = None,
+        gt_masks: Optional[np.ndarray] = None,
     ) -> None:
+        """Pass ``dt_masks``/``gt_masks`` (N, H, W) bool for segm-mode (mask
+        AP) evaluation — IoU and area filtering then use the bitmaps, the
+        pycocotools ``iouType='segm'`` protocol Mask R-CNN needs."""
         if gt_iscrowd is None:
             gt_iscrowd = np.zeros(len(gt_boxes), bool)
         self._store[class_id].append(
             (
                 {"boxes": np.asarray(dt_boxes, np.float64).reshape(-1, 4),
-                 "scores": np.asarray(dt_scores, np.float64).reshape(-1)},
+                 "scores": np.asarray(dt_scores, np.float64).reshape(-1),
+                 "masks": (np.asarray(dt_masks, bool)
+                           if dt_masks is not None else None)},
                 {"boxes": np.asarray(gt_boxes, np.float64).reshape(-1, 4),
-                 "iscrowd": np.asarray(gt_iscrowd, bool).reshape(-1)},
+                 "iscrowd": np.asarray(gt_iscrowd, bool).reshape(-1),
+                 "masks": (np.asarray(gt_masks, bool)
+                           if gt_masks is not None else None)},
             )
         )
 

@@ -84,6 +84,41 @@ ATTRIBUTES = (
 )
 
 
+def infer_attributes(
+    boxes9: np.ndarray, class_ids: np.ndarray, speed_thresh: float = 0.2
+) -> np.ndarray:
+    """Predicted-velocity attribute heuristic (CenterPoint submission rule):
+    a track faster than ``speed_thresh`` m/s gets the class's moving
+    attribute, otherwise its static one. Returns ids into ``ATTRIBUTES``
+    (-1 for classes without attributes: barrier, traffic_cone).
+    """
+    moving_attr = {
+        "car": "vehicle.moving", "truck": "vehicle.moving",
+        "construction_vehicle": "vehicle.moving", "bus": "vehicle.moving",
+        "trailer": "vehicle.moving",
+        "motorcycle": "cycle.with_rider", "bicycle": "cycle.with_rider",
+        "pedestrian": "pedestrian.moving",
+    }
+    static_attr = {
+        "car": "vehicle.parked", "truck": "vehicle.parked",
+        "construction_vehicle": "vehicle.parked", "bus": "vehicle.stopped",
+        "trailer": "vehicle.parked",
+        "motorcycle": "cycle.without_rider", "bicycle": "cycle.without_rider",
+        "pedestrian": "pedestrian.standing",
+    }
+    speed = np.linalg.norm(np.asarray(boxes9)[:, 6:8], axis=1)
+    out = np.full(len(boxes9), -1, np.int32)
+    for i, cid in enumerate(np.asarray(class_ids)):
+        if not 1 <= cid <= len(DETECTION_CLASSES):
+            continue
+        name = DETECTION_CLASSES[cid - 1]
+        table = moving_attr if speed[i] > speed_thresh else static_attr
+        attr = table.get(name)
+        if attr is not None:
+            out[i] = ATTRIBUTES.index(attr)
+    return out
+
+
 # --------------------------------------------------------------------------
 # quaternion / transform helpers (pure numpy; devkit geometry_utils parity)
 # --------------------------------------------------------------------------

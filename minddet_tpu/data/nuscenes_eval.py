@@ -4,12 +4,17 @@ The nuscenes-devkit is not installable here; the reference shells out to it
 (``det3d_ms/datasets/nuscenes/nuscenes.py:213-300``). This is a clean-room
 implementation of the official protocol: per-class AP at center-distance
 thresholds {0.5, 1, 2, 4} m with the (recall, precision) > 0.1 normalization,
-TP errors (ATE/ASE/AOE/AVE) accumulated at the 2 m threshold, and
+TP errors (ATE/ASE/AOE/AVE/AAE) accumulated at the 2 m threshold with the
+devkit's per-class exclusions (no attribute/velocity for barrier and
+traffic_cone, no orientation for traffic_cone, barrier orientation modulo
+pi), and
 
     NDS = (5 * mAP + sum_k max(0, 1 - mTP_k)) / 10.
 
 Boxes: [x, y, z, w, l, h, vx, vy, yaw] global/lidar frame (CenterPoint's
-output layout).
+output layout). Attributes are integer ids into
+``data.nuscenes.ATTRIBUTES`` (-1 = none/void, excluded from AAE like the
+devkit).
 """
 
 from __future__ import annotations
@@ -23,6 +28,12 @@ TP_THRESHOLD = 2.0
 MIN_RECALL = 0.1
 MIN_PRECISION = 0.1
 N_RECALL_PTS = 101
+
+# devkit per-class TP-metric exclusions (nuscenes/eval/detection/algo.py)
+ATTR_EXCLUDED = frozenset({"barrier", "traffic_cone"})
+VEL_EXCLUDED = frozenset({"barrier", "traffic_cone"})
+ORIENT_EXCLUDED = frozenset({"traffic_cone"})
+ORIENT_PERIOD_PI = frozenset({"barrier"})
 
 
 def _yaw_diff(a: np.ndarray, b: np.ndarray, period: float = 2 * np.pi) -> np.ndarray:
@@ -40,19 +51,25 @@ def _aligned_iou_1d(d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
 
 
 def accumulate_class(
-    gts: List[Dict], dts: List[Dict], dist_th: float
+    gts: List[Dict], dts: List[Dict], dist_th: float, cls: str = ""
 ) -> Dict[str, np.ndarray]:
     """Match one class at one distance threshold across all samples.
 
-    gts/dts: per-sample dicts with 'boxes' (N, 9) and dts also 'scores'.
-    Returns tp/fp flags sorted by score + per-TP errors + total gt count.
+    gts/dts: per-sample dicts with 'boxes' (N, 9), dts also 'scores', both
+    optionally 'attrs' (N,) int attribute ids (-1 = void). Returns tp/fp
+    flags sorted by score + per-TP errors + total gt count. AAE entries are
+    only emitted for TPs whose GT attribute is non-void (devkit semantics).
     """
+    period = np.pi if cls in ORIENT_PERIOD_PI else 2 * np.pi
     n_gt = sum(len(g["boxes"]) for g in gts)
-    all_scores, all_tp, errs = [], [], {"ate": [], "ase": [], "aoe": [], "ave": []}
+    all_scores, all_tp = [], []
+    errs = {"ate": [], "ase": [], "aoe": [], "ave": [], "aae": []}
     for g, d in zip(gts, dts):
         gb = np.asarray(g["boxes"], np.float64).reshape(-1, 9)
         db = np.asarray(d["boxes"], np.float64).reshape(-1, 9)
         ds = np.asarray(d["scores"], np.float64).reshape(-1)
+        ga = np.asarray(g.get("attrs", np.full(len(gb), -1)), np.int64)
+        da = np.asarray(d.get("attrs", np.full(len(db), -1)), np.int64)
         order = np.argsort(-ds, kind="mergesort")
         taken = np.zeros(len(gb), bool)
         for di in order:
@@ -69,8 +86,10 @@ def accumulate_class(
                 all_tp.append(True)
                 errs["ate"].append(dist[gi])
                 errs["ase"].append(1.0 - _aligned_iou_1d(gb[gi, 3:6], db[di, 3:6]))
-                errs["aoe"].append(_yaw_diff(gb[gi, 8], db[di, 8]))
+                errs["aoe"].append(_yaw_diff(gb[gi, 8], db[di, 8], period))
                 errs["ave"].append(np.linalg.norm(gb[gi, 6:8] - db[di, 6:8]))
+                if ga[gi] >= 0:  # void GT attributes don't count toward AAE
+                    errs["aae"].append(0.0 if da[di] == ga[gi] else 1.0)
             else:
                 all_scores.append(ds[di])
                 all_tp.append(False)
@@ -106,19 +125,23 @@ def evaluate_nuscenes(
 ) -> Dict[str, float]:
     """-> {'mAP', 'NDS', 'mATE', 'mASE', 'mAOE', 'mAVE', per-class APs}."""
     per_class_ap = {}
-    tp_errs = {"ate": [], "ase": [], "aoe": [], "ave": []}
+    tp_errs = {"ate": [], "ase": [], "aoe": [], "ave": [], "aae": []}
+    excluded = {"aoe": ORIENT_EXCLUDED, "ave": VEL_EXCLUDED,
+                "aae": ATTR_EXCLUDED}
     for cls in classes:
         gts = gt_by_class.get(cls, [])
         dts = dt_by_class.get(cls, [])
         aps = []
         for th in DIST_THRESHOLDS:
-            acc = accumulate_class(gts, dts, th)
+            acc = accumulate_class(gts, dts, th, cls)
             aps.append(average_precision(acc))
             if th == TP_THRESHOLD:
                 for k in tp_errs:
+                    if cls in excluded.get(k, ()):  # devkit class exclusions
+                        continue
                     e = acc["errors"][k]
-                    if len(e):
-                        tp_errs[k].append(float(np.mean(e)))
+                    # devkit: a class with zero TPs contributes worst-case 1.0
+                    tp_errs[k].append(float(np.mean(e)) if len(e) else 1.0)
         per_class_ap[cls] = float(np.mean(aps))
     m_ap = float(np.mean(list(per_class_ap.values()))) if per_class_ap else 0.0
     m_tp = {
@@ -130,10 +153,9 @@ def evaluate_nuscenes(
         max(0.0, 1.0 - m_tp["mASE"]),
         max(0.0, 1.0 - m_tp["mAOE"] / np.pi),
         max(0.0, 1.0 - m_tp["mAVE"]),
+        max(0.0, 1.0 - m_tp["mAAE"]),
     ]
-    nds = (5.0 * m_ap + sum(nds_terms) + max(0.0, 1.0 - 1.0)) / 10.0
-    # note: the attribute term (mAAE) is 1.0 (worst) when attributes are
-    # unavailable — stated explicitly rather than silently inflated.
+    nds = (5.0 * m_ap + sum(nds_terms)) / 10.0
     out = {"mAP": m_ap, "NDS": nds, **m_tp}
     out.update({f"AP_{k}": v for k, v in per_class_ap.items()})
     return out

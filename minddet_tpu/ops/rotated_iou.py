@@ -221,8 +221,24 @@ def _intersection_areas_batched(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp
 _pair_area_nm = _intersection_areas_batched
 
 
+def _on_tpu() -> bool:
+    return any(d.platform in ("tpu", "axon") for d in jax.devices())
+
+
 def rotated_intersection_bev(boxes1: jnp.ndarray, boxes2: jnp.ndarray) -> jnp.ndarray:
-    """Pairwise intersection areas (N, 5) x (M, 5) -> (N, M)."""
+    """Pairwise intersection areas (N, 5) x (M, 5) -> (N, M).
+
+    On TPU this dispatches to the Pallas Sutherland–Hodgman kernel
+    (``ops/rotated_iou_pallas.py``: pair axes on the vector lanes, vertex
+    loops unrolled in registers); the XLA angular-successor formulation
+    below is the CPU/test fallback and the numerical reference.
+    """
+    if _on_tpu():
+        from minddet_tpu.ops.rotated_iou_pallas import (
+            rotated_intersection_bev_pallas,
+        )
+
+        return rotated_intersection_bev_pallas(boxes1, boxes2)
     return _pair_area_nm(boxes1, boxes2)
 
 
@@ -245,8 +261,10 @@ def rotated_iou_bev(
     area1 = boxes1[:, 2] * boxes1[:, 3]
     area2 = boxes2[:, 2] * boxes2[:, 3]
 
-    if n * m <= row_chunk * 1024:
-        inter = _pair_area_nm(boxes1, boxes2)
+    if _on_tpu() or n * m <= row_chunk * 1024:
+        # Pallas kernel streams (TILE_N, TILE_M) pair tiles: no blow-up to
+        # chunk; the XLA path's (N, M, 24) intermediate only fits small N*M
+        inter = rotated_intersection_bev(boxes1, boxes2)
     else:
         pad = (-n) % row_chunk
         b1 = jnp.pad(boxes1, ((0, pad), (0, 0)), constant_values=1.0)

@@ -282,6 +282,72 @@ def kitti_evaluate(
 
 
 # ---------------------------------------------------------------------------
+# nuScenes: mAP / NDS incl. attribute term via the velocity heuristic
+# ---------------------------------------------------------------------------
+
+def nuscenes_evaluate(
+    model,
+    variables,
+    records: str,
+    batch_size: int = 2,
+    max_frames: int = 0,
+    score_threshold: float = 0.1,
+) -> Dict[str, float]:
+    """CenterPoint -> nuScenes protocol metrics (mAP@{0.5,1,2,4} m, TP
+    errors incl. mAAE via the CenterPoint submission attribute heuristic,
+    NDS). One fused device program per batch (voxelize + forward + per-task
+    decode + rotated NMS); the host only does protocol matching."""
+    from minddet_tpu.data.nuscenes import (
+        DETECTION_CLASSES,
+        NuScenesDetection,
+        infer_attributes,
+    )
+    from minddet_tpu.data.nuscenes_eval import evaluate_nuscenes
+
+    ds = NuScenesDetection(records, cbgs=False, augment=False)
+    n = len(ds)
+    if max_frames:
+        n = min(n, max_frames)
+    n -= n % batch_size
+    if n == 0:
+        raise ValueError("need at least one full batch of frames")
+
+    @jax.jit
+    def predict(points, mask):
+        return model.apply(
+            variables, points, mask, method=model.predict_from_points
+        )
+
+    gt_by_class = {c: [] for c in DETECTION_CLASSES}
+    dt_by_class = {c: [] for c in DETECTION_CLASSES}
+    for start in range(0, n, batch_size):
+        exs = [ds[i] for i in range(start, start + batch_size)]
+        pts = jnp.asarray(np.stack([e["points"] for e in exs]))
+        msk = jnp.asarray(np.stack([e["points_mask"] for e in exs]))
+        out = predict(pts, msk)
+        for bi, ex in enumerate(exs):
+            gm = ex["gt_mask"]
+            boxes = np.asarray(out["boxes"][bi])
+            scores = np.asarray(out["scores"][bi])
+            labels = np.asarray(out["labels"][bi])
+            keep = scores > score_threshold
+            boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
+            attrs = infer_attributes(boxes, labels + 1)
+            for ci, cls in enumerate(DETECTION_CLASSES):
+                g = ex["gt_classes"][gm] == ci + 1
+                gt_by_class[cls].append({
+                    "boxes": ex["gt_boxes"][gm][g],
+                    "attrs": ex["gt_attrs"][gm][g],
+                })
+                d = labels == ci
+                dt_by_class[cls].append({
+                    "boxes": boxes[d], "scores": scores[d],
+                    "attrs": attrs[d],
+                })
+    return evaluate_nuscenes(gt_by_class, dt_by_class, DETECTION_CLASSES)
+
+
+# ---------------------------------------------------------------------------
 # Segmentation mIoU
 # ---------------------------------------------------------------------------
 
@@ -329,7 +395,8 @@ def main(argv=None) -> None:
     p.add_argument("--records", required=True)
     p.add_argument("--max-images", type=int, default=0)
     p.add_argument("--protocol", default=None,
-                   choices=[None, "coco", "centernet", "kitti", "miou"],
+                   choices=[None, "coco", "centernet", "kitti", "nuscenes",
+                            "miou"],
                    help="override the data-type-derived eval protocol")
     p.add_argument("--options", nargs="*", default=[])
     args = p.parse_args(argv)
@@ -343,6 +410,8 @@ def main(argv=None) -> None:
     if protocol is None:
         if data_type == "kitti":
             protocol = "kitti"
+        elif data_type == "nuscenes":
+            protocol = "nuscenes"
         elif data_type == "seg":
             protocol = "miou"
         elif mcfg.get("type") == "CenterNet":
@@ -351,15 +420,19 @@ def main(argv=None) -> None:
             protocol = "coco"
 
     # init variables with the protocol-appropriate input signature
-    if protocol == "kitti":
-        pts = jnp.zeros((1, 512, 4))
+    if protocol in ("kitti", "nuscenes"):
+        nf = 5 if protocol == "nuscenes" else 4
+        pts = jnp.zeros((1, 512, nf))
         variables = model.init(
             jax.random.PRNGKey(0), pts, jnp.ones((1, 512), bool),
             method=model.predict_from_points,
         )
     else:
         image = jnp.zeros((1,) + image_hw + (3,))
-        variables = model.init(jax.random.PRNGKey(0), image)
+        # init through predict: two-stage models (Faster/Mask R-CNN) only
+        # materialize their ROI heads on that path
+        variables = model.init(jax.random.PRNGKey(0), image,
+                               method=model.predict)
     if args.checkpoint:
         from minddet_tpu.core.checkpoint import load_pytree
 
@@ -378,6 +451,13 @@ def main(argv=None) -> None:
             for metric, aps in ms.items():
                 logger.info("%s %s AP: %s", cls, metric,
                             " / ".join(f"{a:.2f}" for a in aps))
+        return
+    if protocol == "nuscenes":
+        stats = nuscenes_evaluate(
+            model, variables, args.records, max_frames=args.max_images,
+        )
+        for k, v in stats.items():
+            logger.info("%s: %.4f", k, v)
         return
     if protocol == "miou":
         stats = segmentation_evaluate(

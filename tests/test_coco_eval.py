@@ -84,3 +84,56 @@ def test_missing_class_excluded():
     ev.add(1, gt, np.array([0.9]), gt)
     stats = ev.summarize()  # class 2 has no GT; must not drag AP to 0
     assert stats["AP"] > 0.99
+
+
+# ---------------------------------------------------------------------------
+# segm mode (mask AP) — the pycocotools iouType='segm' protocol
+# ---------------------------------------------------------------------------
+
+def _disk_mask(h, w, cy, cx, r):
+    yy, xx = np.mgrid[:h, :w]
+    return (yy - cy) ** 2 + (xx - cx) ** 2 <= r * r
+
+
+def test_segm_mode_perfect_masks():
+    from minddet_tpu.data.coco_eval import COCOEvaluator
+
+    ev = COCOEvaluator([0])
+    gt = np.stack([_disk_mask(64, 64, 20, 20, 9), _disk_mask(64, 64, 45, 45, 12)])
+    boxes = np.array([[11, 11, 29, 29], [33, 33, 57, 57]], np.float64)
+    ev.add(0, boxes, np.array([0.9, 0.8]), boxes, dt_masks=gt, gt_masks=gt)
+    stats = ev.summarize()
+    assert abs(stats["AP"] - 1.0) < 1e-6
+
+
+def test_segm_mode_uses_mask_iou_not_box_iou():
+    from minddet_tpu.data.coco_eval import COCOEvaluator
+
+    # same bounding box, disjoint masks: box IoU = 1 but mask IoU = 0
+    gt_mask = np.zeros((1, 32, 32), bool)
+    gt_mask[0, :, :16] = True           # left half
+    dt_mask = np.zeros((1, 32, 32), bool)
+    dt_mask[0, :, 16:] = True           # right half
+    box = np.array([[0, 0, 32, 32]], np.float64)
+
+    ev = COCOEvaluator([0])
+    ev.add(0, box, np.array([0.9]), box, dt_masks=dt_mask, gt_masks=gt_mask)
+    assert ev.summarize()["AP"] == 0.0
+
+    ev2 = COCOEvaluator([0])  # bbox mode on the same boxes is perfect
+    ev2.add(0, box, np.array([0.9]), box)
+    assert abs(ev2.summarize()["AP"] - 1.0) < 1e-6
+
+
+def test_segm_mode_area_ranges_from_masks():
+    from minddet_tpu.data.coco_eval import COCOEvaluator
+
+    # a small mask (area < 32^2) inside a huge box: must count as "small"
+    mask = np.zeros((1, 200, 200), bool)
+    mask[0, 50:60, 50:60] = True  # area 100
+    box = np.array([[0, 0, 200, 200]], np.float64)
+    ev = COCOEvaluator([0])
+    ev.add(0, box, np.array([0.9]), box, dt_masks=mask, gt_masks=mask)
+    stats = ev.summarize()
+    assert abs(stats["AP_small"] - 1.0) < 1e-6
+    assert stats["AP_large"] == -1.0  # no large GT -> undefined

@@ -227,3 +227,74 @@ def test_quaternion_yaw_basics():
     assert abs(quaternion_yaw([1, 0, 0, 0])) < 1e-8
     q = [np.cos(0.3 / 2), 0, 0, np.sin(0.3 / 2)]
     assert abs(quaternion_yaw(q) - 0.3) < 1e-7
+
+
+def test_infer_attributes_velocity_heuristic():
+    from minddet_tpu.data.nuscenes import infer_attributes
+
+    boxes = np.zeros((4, 9), np.float32)
+    boxes[0, 6:8] = [3.0, 0.0]   # fast car -> vehicle.moving
+    boxes[1, 6:8] = [0.0, 0.0]   # parked car
+    boxes[2, 6:8] = [1.0, 1.0]   # moving pedestrian
+    boxes[3, 6:8] = [5.0, 0.0]   # barrier: no attributes
+    ids = np.array([1, 1, 9, 6])  # car, car, pedestrian, barrier
+    attrs = infer_attributes(boxes, ids)
+    assert attrs[0] == ATTRIBUTES.index("vehicle.moving")
+    assert attrs[1] == ATTRIBUTES.index("vehicle.parked")
+    assert attrs[2] == ATTRIBUTES.index("pedestrian.moving")
+    assert attrs[3] == -1
+
+
+def test_nuscenes_eval_attribute_term():
+    from minddet_tpu.data.nuscenes_eval import evaluate_nuscenes
+
+    rng = np.random.RandomState(0)
+    boxes = np.concatenate(
+        [rng.uniform(-20, 20, (6, 2)), rng.uniform(-1, 1, (6, 1)),
+         rng.uniform(1, 3, (6, 3)), rng.uniform(-2, 2, (6, 2)),
+         rng.uniform(-np.pi, np.pi, (6, 1))], -1)
+    attrs = np.array([5, 6, 5, 6, 5, 6])
+    gts = [{"boxes": boxes, "attrs": attrs}]
+    perfect = [{"boxes": boxes, "scores": np.ones(6), "attrs": attrs}]
+    wrong = [{"boxes": boxes, "scores": np.ones(6),
+              "attrs": (attrs + 1) % 8}]
+    good = evaluate_nuscenes({"car": gts}, {"car": perfect}, ["car"])
+    bad = evaluate_nuscenes({"car": gts}, {"car": wrong}, ["car"])
+    assert good["mAAE"] == 0.0 and bad["mAAE"] == 1.0
+    assert good["NDS"] > bad["NDS"]
+    # barrier never contributes attribute/velocity terms (devkit exclusion)
+    barrier = evaluate_nuscenes({"barrier": gts}, {"barrier": perfect},
+                                ["barrier"])
+    assert barrier["mAAE"] == 1.0  # no classes contribute -> worst-case
+
+
+@pytest.mark.slow
+def test_nuscenes_e2e_eval_path(tmp_path):
+    """records -> CenterPoint predict_from_points -> nuScenes metrics."""
+    import jax
+
+    from minddet_tpu.data.nuscenes import create_nuscenes_records
+    from minddet_tpu.models.detectors.centerpoint import CenterPoint
+    from minddet_tpu.train.evaluate import nuscenes_evaluate
+
+    root = _write_fake_nusc(str(tmp_path))
+    out = str(tmp_path / "nusc")
+    create_nuscenes_records(root, out, "v1.0-test", nsweeps=3)
+    model = CenterPoint(
+        task_num_classes=(1, 2, 2, 1, 2, 2), grid_ny=128, grid_nx=128,
+        voxel_size=(0.2, 0.2, 8.0),
+        pc_range=(-12.8, -12.8, -5.0, 12.8, 12.8, 3.0),
+        max_voxels=1024, max_points_per_voxel=8, max_objs=32,
+        rpn_filters=(32, 64, 128), rpn_up_filters=(32, 32, 32),
+    )
+    import jax.numpy as jnp
+
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 256, 5)),
+        jnp.ones((1, 256), bool), method=model.predict_from_points,
+    )
+    ds_pattern = out + "-*.arrayrecord"
+    stats = nuscenes_evaluate(model, variables, ds_pattern, batch_size=1,
+                              score_threshold=0.0)
+    assert {"mAP", "NDS", "mATE", "mAAE"} <= set(stats)
+    assert all(np.isfinite(v) for v in stats.values())

@@ -6,6 +6,7 @@ import pytest
 
 from minddet_tpu.ops.rotated_iou import (
     rect_corners,
+    rotated_intersection_bev,
     rotated_iou_3d,
     rotated_iou_bev,
 )
@@ -162,3 +163,57 @@ def test_chunked_path_matches_direct(n):
     direct = np.asarray(rotated_iou_bev(bj, bj, row_chunk=1024))
     chunked = np.asarray(rotated_iou_bev(bj, bj, row_chunk=64))
     np.testing.assert_allclose(direct, chunked, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Pallas Sutherland–Hodgman kernel (interpret mode on CPU) vs the XLA path
+# and the native C++ golden
+# ---------------------------------------------------------------------------
+
+def test_pallas_kernel_matches_xla_and_golden():
+    from minddet_tpu.ops.rotated_iou_pallas import (
+        rotated_intersection_bev_pallas,
+    )
+
+    rng = np.random.RandomState(7)
+    n, m = 37, 201  # deliberately unaligned to the (8, 128) tile
+    b1 = np.stack([rng.uniform(-30, 30, n), rng.uniform(-30, 30, n),
+                   rng.uniform(0.4, 5, n), rng.uniform(0.4, 7, n),
+                   rng.uniform(-np.pi, np.pi, n)], -1).astype(np.float32)
+    b2 = np.stack([rng.uniform(-30, 30, m), rng.uniform(-30, 30, m),
+                   rng.uniform(0.4, 5, m), rng.uniform(0.4, 7, m),
+                   rng.uniform(-np.pi, np.pi, m)], -1).astype(np.float32)
+    ref = np.asarray(rotated_intersection_bev(jnp.asarray(b1), jnp.asarray(b2)))
+    got = np.asarray(rotated_intersection_bev_pallas(
+        jnp.asarray(b1), jnp.asarray(b2), interpret=True))
+    np.testing.assert_allclose(got, ref, atol=2e-4)
+
+    from minddet_tpu.ops import host_ops
+
+    if host_ops.available():
+        golden = host_ops.rotated_iou_matrix(b1[:8], b2[:64])
+        area1 = b1[:8, 2] * b1[:8, 3]
+        area2 = b2[:64, 2] * b2[:64, 3]
+        union = area1[:, None] + area2[None, :] - got[:8, :64]
+        np.testing.assert_allclose(
+            got[:8, :64] / np.maximum(union, 1e-8), golden, atol=1e-3
+        )
+
+
+def test_pallas_kernel_exact_cases():
+    from minddet_tpu.ops.rotated_iou_pallas import (
+        rotated_intersection_bev_pallas,
+    )
+
+    boxes = np.array([
+        [0.0, 0.0, 2.0, 4.0, 0.0],
+        [0.0, 0.0, 2.0, 4.0, np.pi / 2],   # same box rotated 90deg
+        [10.0, 10.0, 2.0, 2.0, 0.3],       # disjoint
+        [0.0, 0.0, 1.0, 1.0, 0.0],         # nested inside box 0
+    ], np.float32)
+    a = np.asarray(rotated_intersection_bev_pallas(
+        jnp.asarray(boxes), jnp.asarray(boxes), interpret=True))
+    np.testing.assert_allclose(np.diag(a), [8.0, 8.0, 4.0, 1.0], atol=1e-4)
+    assert abs(a[0, 1] - 4.0) < 1e-4     # cross-shaped overlap = 2x2
+    assert a[0, 2] == 0.0                # disjoint
+    np.testing.assert_allclose(a[0, 3], 1.0, atol=1e-5)  # containment
