@@ -137,3 +137,40 @@ def test_segm_mode_area_ranges_from_masks():
     stats = ev.summarize()
     assert abs(stats["AP_small"] - 1.0) < 1e-6
     assert stats["AP_large"] == -1.0  # no large GT -> undefined
+
+
+# ---------------------------------------------------------------------------
+# Analytic golden fixture: every number below is hand-derived from the COCO
+# protocol definition (101-point right-max interpolation, score-ranked
+# matching, maxDets truncation) — NOT from running this implementation.
+# A protocol off-by-one (interpolation edge, maxDets handling) breaks these.
+# ---------------------------------------------------------------------------
+
+def test_analytic_golden_ap():
+    from minddet_tpu.data.coco_eval import COCOEvaluator
+
+    gt = np.array([[0, 0, 10, 10], [20, 20, 30, 30]], np.float64)
+    # D1: perfect match of G1 (IoU 1.0), D2: far FP, D3: inside G2 with
+    # IoU = 82/100 = 0.82 (safely between the 0.80 and 0.85 thresholds)
+    dt = np.array([[0, 0, 10, 10], [100, 100, 110, 110], [20, 20, 28.2, 30]])
+    scores = np.array([0.9, 0.8, 0.7])
+    ev = COCOEvaluator([0])
+    ev.add(0, dt, scores, gt)
+    stats = ev.summarize()
+
+    # t <= 0.80 (7 thresholds): ranked [TP, FP, TP] ->
+    #   recall [.5, .5, 1], precision [1, .5, 2/3], right-max [1, 2/3, 2/3]
+    #   51 recall points <= 0.5 at precision 1; 50 points at 2/3
+    ap_low = (51 * 1.0 + 50 * (2.0 / 3.0)) / 101
+    # t in {.85, .90, .95}: ranked [TP, FP, FP] -> 51 pts at 1, 50 at 0
+    ap_high = 51 / 101
+    np.testing.assert_allclose(stats["AP50"], ap_low, atol=1e-9)
+    np.testing.assert_allclose(stats["AP75"], ap_low, atol=1e-9)
+    np.testing.assert_allclose(stats["AP"], (7 * ap_low + 3 * ap_high) / 10,
+                               atol=1e-9)
+    # AR: final recall averaged over thresholds
+    np.testing.assert_allclose(stats["AR@100"], (7 * 1.0 + 3 * 0.5) / 10,
+                               atol=1e-9)
+    np.testing.assert_allclose(stats["AR@10"], 0.85, atol=1e-9)
+    # maxDets=1 keeps only D1 -> recall 0.5 at every threshold
+    np.testing.assert_allclose(stats["AR@1"], 0.5, atol=1e-9)

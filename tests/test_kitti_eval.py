@@ -115,3 +115,68 @@ def test_official_result_table():
     assert all(len(v) == 3 for v in table["Car"].values())
     assert table["Car"]["bbox"][0] > 99.0
     assert table["Car"]["aos"][0] > 99.0
+
+
+# ---------------------------------------------------------------------------
+# Analytic golden fixtures for the 41-point protocol: values hand-derived
+# from the official algorithm (score->threshold selection advancing the
+# recall cursor by 1/40, right-max interpolation over 41 slots, 11-sample
+# [0::4] average), not from this implementation.
+# ---------------------------------------------------------------------------
+
+def _easy_gt(x=10.0):
+    return {
+        "name": np.array(["Car"]),
+        "bbox": np.array([[0.0, 0.0, 60.0, 60.0]], np.float32),  # h=60 > 40
+        "alpha": np.zeros(1, np.float32),
+        "occluded": np.zeros(1, np.int64),
+        "truncated": np.zeros(1, np.float32),
+        "location": np.array([[x, 1.5, 20.0]], np.float32),
+        "dimensions": np.array([[4.0, 1.5, 1.8]], np.float32),
+        "rotation_y": np.zeros(1, np.float32),
+    }
+
+
+def _dt_from_gt(gt, score):
+    dt = {k: np.copy(v) for k, v in gt.items()}
+    dt["score"] = np.array([score], np.float32)
+    return dt
+
+
+def _empty_dt():
+    return {
+        "name": np.zeros(0, dtype="U16"),
+        "bbox": np.zeros((0, 4), np.float32),
+        "alpha": np.zeros(0, np.float32),
+        "occluded": np.zeros(0, np.int64),
+        "truncated": np.zeros(0, np.float32),
+        "location": np.zeros((0, 3), np.float32),
+        "dimensions": np.zeros((0, 3), np.float32),
+        "rotation_y": np.zeros(0, np.float32),
+        "score": np.zeros(0, np.float32),
+    }
+
+
+def test_analytic_golden_perfect_41():
+    """41 GTs, 41 perfect distinct-score detections: every one of the 41
+    recall slots is filled at precision 1 -> AP exactly 100."""
+    gts = [_easy_gt(float(5 + i)) for i in range(41)]
+    dts = [_dt_from_gt(g, 1.0 - 0.01 * i) for i, g in enumerate(gts)]
+    out = get_official_eval_result(gts, dts, classes=("Car",),
+                                   metrics=("bbox",))
+    np.testing.assert_allclose(out["Car"]["bbox"], [100.0] * 3, atol=1e-6)
+
+
+def test_analytic_golden_partial_recall():
+    """41 GTs, the top-20 detected perfectly: recall steps (1/41) lag the
+    cursor steps (1/40) too little to skip any threshold within 20, so slots
+    0..19 hold precision 1 and the rest 0 -> AP = 5/11 * 100 (slots
+    0,4,8,12,16 of the 11-point [0::4] sample are 1)."""
+    gts = [_easy_gt(float(5 + i)) for i in range(41)]
+    dts = []
+    for i, g in enumerate(gts):
+        dts.append(_dt_from_gt(g, 1.0 - 0.01 * i) if i < 20 else _empty_dt())
+    out = get_official_eval_result(gts, dts, classes=("Car",),
+                                   metrics=("bbox",))
+    np.testing.assert_allclose(out["Car"]["bbox"], [500.0 / 11] * 3,
+                               atol=1e-6)
