@@ -59,6 +59,58 @@ class DistributedSampler:
         return idx[self.shard_id :: self.num_shards]
 
 
+class GroupSampler:
+    """Group-coherent batching + host sharding: every batch is drawn from one
+    flag group (the reference's aspect-ratio ``GroupSampler`` +
+    ``DistributedGroupSampler``, det3d_ms/datasets/loader/sampler.py:34-157).
+
+    ``flags``: one int per example (e.g. 0 = landscape, 1 = portrait). Each
+    group is shuffled, padded to a multiple of ``batch_size`` by repeating its
+    head, chunked into batches, and the batch blocks are permuted; shards
+    receive whole batches round-robin so each host still sees group-pure
+    batches.
+    """
+
+    def __init__(
+        self,
+        flags: Sequence[int],
+        batch_size: int,
+        num_shards: int = 1,
+        shard_id: int = 0,
+        seed: int = 0,
+    ):
+        self.flags = np.asarray(flags, np.int64)
+        self.batch_size = batch_size
+        self.num_shards = num_shards
+        self.shard_id = shard_id
+        self.seed = seed
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        rng = np.random.RandomState(self.seed + epoch)
+        batches = []
+        for flag in np.unique(self.flags):
+            idx = np.nonzero(self.flags == flag)[0]
+            rng.shuffle(idx)
+            pad = (-len(idx)) % self.batch_size
+            if pad:
+                idx = np.concatenate([idx, idx[:pad]])
+            batches.extend(idx.reshape(-1, self.batch_size))
+        order = rng.permutation(len(batches))
+        pad_b = (-len(batches)) % self.num_shards
+        order = np.concatenate([order, order[:pad_b]]) if pad_b else order
+        mine = order[self.shard_id :: self.num_shards]
+        return np.concatenate([batches[i] for i in mine]) if len(mine) else (
+            np.zeros(0, np.int64)
+        )
+
+
+def aspect_flags(hws: Sequence[Sequence[int]]) -> np.ndarray:
+    """Image (h, w) list -> 0/1 landscape/portrait flags for GroupSampler
+    (the reference flags by aspect ratio > 1, sampler.py:42)."""
+    hw = np.asarray(hws)
+    return (hw[:, 0] > hw[:, 1]).astype(np.int64)
+
+
 def stack_collate(examples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
     """Stack same-shaped example dicts into batch arrays."""
     keys = examples[0].keys()

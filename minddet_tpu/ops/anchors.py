@@ -127,6 +127,29 @@ def anchors_bev_area_mask(
     return area > area_threshold
 
 
+def distance_similarity(
+    boxes1: jnp.ndarray,
+    boxes2: jnp.ndarray,
+    distance_norm: float = 2.0,
+    with_rotation: bool = False,
+    rotation_alpha: float = 0.5,
+) -> jnp.ndarray:
+    """Center-distance similarity matrix (reference ``DistanceSimilarity``,
+    ``pointpillars/src/core/region_similarity.py:62-85``): similarity of a
+    pair is ``1 - ||c1 - c2|| / distance_norm`` (so "matched" thresholds keep
+    their >=-threshold semantics in ``assign_targets``); with rotation the
+    distance term is blended with a yaw-agreement cosine term at
+    ``rotation_alpha``. boxes: (.., 5) [x, y, w, l, yaw]."""
+    d = jnp.linalg.norm(
+        boxes1[:, None, :2] - boxes2[None, :, :2], axis=-1
+    )
+    sim = 1.0 - d / distance_norm
+    if with_rotation:
+        rot = 0.5 * (jnp.cos(boxes1[:, None, 4] - boxes2[None, :, 4]) + 1.0)
+        sim = (1.0 - rotation_alpha) * sim + rotation_alpha * rot
+    return sim
+
+
 def assign_targets(
     anchors: jnp.ndarray,
     gt_boxes: jnp.ndarray,
@@ -135,6 +158,8 @@ def assign_targets(
     matched_threshold: jnp.ndarray,
     unmatched_threshold: jnp.ndarray,
     anchors_mask: jnp.ndarray = None,
+    similarity: str = "nearest_iou",
+    distance_norm: float = 2.0,
 ) -> Dict[str, jnp.ndarray]:
     """Detectron-style anchor assignment, fully vectorized (one sample).
 
@@ -147,9 +172,15 @@ def assign_targets(
     GT's best anchor (ties included), ignore band between thresholds.
     """
     a = anchors.shape[0]
-    near_anchors = rbbox_to_near_bbox(anchors[:, [0, 1, 3, 4, 6]])
-    near_gt = rbbox_to_near_bbox(gt_boxes[:, [0, 1, 3, 4, 6]])
-    iou = pairwise_iou(near_anchors, near_gt)  # (A, G)
+    if similarity == "distance":
+        iou = distance_similarity(
+            anchors[:, [0, 1, 3, 4, 6]], gt_boxes[:, [0, 1, 3, 4, 6]],
+            distance_norm,
+        )
+    else:  # nearest-BEV IoU (the default SECOND similarity)
+        near_anchors = rbbox_to_near_bbox(anchors[:, [0, 1, 3, 4, 6]])
+        near_gt = rbbox_to_near_bbox(gt_boxes[:, [0, 1, 3, 4, 6]])
+        iou = pairwise_iou(near_anchors, near_gt)  # (A, G)
     iou = jnp.where(gt_mask[None, :], iou, -1.0)
     if anchors_mask is not None:
         iou = jnp.where(anchors_mask[:, None], iou, -1.0)

@@ -108,3 +108,26 @@ def test_anchors_mask_from_occupancy():
     )
     got = np.asarray(mask)
     assert got[0] and not got[1]
+
+
+def test_distance_similarity_assignment():
+    from minddet_tpu.ops.anchors import assign_targets, distance_similarity
+
+    anchors = jnp.asarray(np.array([
+        [0.0, 0.0, 1.6, 3.9, 0.0, 0, 0],
+        [1.0, 0.0, 1.6, 3.9, 0.0, 0, 0],
+        [8.0, 8.0, 1.6, 3.9, 0.0, 0, 0],
+    ], np.float32)[:, [0, 1, 5, 2, 3, 6, 4]])  # -> [x,y,z,w,l,h,yaw]
+    gt = jnp.asarray(np.array([[0.2, 0.1, 0.0, 1.6, 3.9, 1.5, 0.0]], np.float32))
+    sim = distance_similarity(
+        anchors[:, [0, 1, 3, 4, 6]], gt[:, [0, 1, 3, 4, 6]], distance_norm=2.0
+    )
+    assert float(sim[0, 0]) > float(sim[1, 0]) > float(sim[2, 0])
+    out = assign_targets(
+        anchors, gt, jnp.array([1], jnp.int32), jnp.array([True]),
+        jnp.full(3, 0.8), jnp.full(3, 0.4), None, similarity="distance",
+        distance_norm=2.0,
+    )
+    labels = np.asarray(out["labels"])
+    assert labels[0] == 1     # ~0.22 m away: sim ~0.89 > matched 0.8
+    assert labels[2] == 0     # far anchor: negative similarity -> background

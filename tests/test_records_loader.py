@@ -87,3 +87,23 @@ def test_loader_decode_fn_and_errors():
     dl_bad = DataLoader(_ToyDataset(), batch_size=4, decode_fn=bad)
     with pytest.raises(ValueError, match="boom"):
         next(iter(dl_bad.epoch(0)))
+
+
+def test_group_sampler_batches_are_group_pure():
+    from minddet_tpu.data.loader import GroupSampler, aspect_flags
+
+    hws = [(480, 640)] * 10 + [(640, 480)] * 7  # 10 landscape, 7 portrait
+    flags = aspect_flags(hws)
+    s = GroupSampler(flags, batch_size=4, seed=3)
+    idx = s.epoch_indices(0)
+    assert len(idx) % 4 == 0
+    for b in idx.reshape(-1, 4):
+        assert len(set(flags[b])) == 1, "mixed-aspect batch"
+    # every example appears at least once
+    assert set(idx) == set(range(17))
+    # sharding hands out whole, disjoint batches
+    s0 = GroupSampler(flags, 4, num_shards=2, shard_id=0, seed=3)
+    s1 = GroupSampler(flags, 4, num_shards=2, shard_id=1, seed=3)
+    i0, i1 = s0.epoch_indices(1), s1.epoch_indices(1)
+    assert len(i0) % 4 == 0 and len(i1) % 4 == 0
+    assert len(i0) + len(i1) >= len(idx)
