@@ -19,11 +19,19 @@ and the remaining metrics (incl. the headline) still print.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import traceback
 
 import jax
+
+# persistent compile cache: the zoo models take minutes each to compile on
+# this single-core host; warm runs then start in seconds
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_comp"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -201,6 +209,12 @@ def bench_decode_nms_p50() -> dict:
 
 
 def _bench_infer(model, variables, image, steps=30):
+    """bs=1 inference throughput with async dispatch: the axon tunnel costs
+    ~40-60 ms per dispatch+host-read round trip, so a per-call sync would
+    measure the tunnel, not the chip. Dispatching all steps back-to-back and
+    syncing once keeps the device queue full (standard JAX throughput
+    measurement; per-image device latency is what bench_decode_nms_p50
+    reports for the postprocess stage)."""
     @jax.jit
     def predict(img):
         return model.apply(variables, img, method=model.predict)
@@ -208,9 +222,8 @@ def _bench_infer(model, variables, image, steps=30):
     out = predict(image)
     _sync(out["scores"])
     t0 = time.perf_counter()
-    for _ in range(steps):
-        out = predict(image)
-        _sync(out["scores"])
+    outs = [predict(image) for _ in range(steps)]
+    _sync(outs[-1]["scores"])
     return steps / (time.perf_counter() - t0)
 
 
@@ -251,15 +264,37 @@ def bench_faster_rcnn_infer() -> dict:
 
 
 def main() -> None:
+    """Headline is computed FIRST but printed LAST (single-line consumers
+    read the last line). A SIGTERM/SIGINT handler and a wall-clock budget on
+    the secondary metrics guarantee the headline line is emitted even when an
+    external `timeout` kills the run mid-secondary (single-core compile of
+    the zoo models can take minutes each)."""
+    import signal
+
+    start = time.monotonic()
+    budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
     headline = bench_centernet_train()
+    headline_line = json.dumps(headline)
+
+    def _emit_and_exit(signum, frame):
+        print(headline_line, flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGTERM, _emit_and_exit)
+    signal.signal(signal.SIGINT, _emit_and_exit)
+
     for fn in (bench_pointpillars_train, bench_decode_nms_p50,
                bench_yolov8s_infer, bench_faster_rcnn_infer):
+        if time.monotonic() - start > budget:
+            print(f"bench budget exhausted, skipping {fn.__name__}",
+                  file=sys.stderr)
+            continue
         try:
             print(json.dumps(fn()), flush=True)
         except Exception:
             print(f"bench {fn.__name__} failed:", file=sys.stderr)
             traceback.print_exc()
-    print(json.dumps(headline), flush=True)
+    print(headline_line, flush=True)
 
 
 if __name__ == "__main__":

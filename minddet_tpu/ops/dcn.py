@@ -4,11 +4,11 @@ The reference leans on Ascend's fused ``ops.deformable_conv2d`` primitive
 (``centernet/src/resnet.py:75-106``), building offsets with a zero-initialized
 regular conv. On TPU we decompose it as:
 
-1. **Sampling** — all K taps' bilinear samples in one call to the Pallas
-   one-hot gather (`minddet_tpu.ops.bilinear.bilinear_sample_2d`): selection
-   matrices are built on the fly in VMEM and contracted on the MXU. (XLA's
-   native gather measured ~60 ms for one 64x64x128 layer; the Pallas path cuts
-   fwd+bwd ~2.4x and keeps improving.)
+1. **Sampling** — all K taps' bilinear samples *and* the modulation multiply
+   in one call to the fused Pallas hat-sampler
+   (`minddet_tpu.ops.hat_sample.hat_sample_2d`): separable hat weights are
+   built on the fly in VMEM over a per-tile row window and contracted on the
+   MXU. (XLA's native gather measured ~60 ms for one 64x64x128 layer.)
 2. **Contraction** — samples (B, P, K*Cin) x weights (K*Cin, Cout) as one
    large MXU matmul.
 
@@ -22,7 +22,7 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
-from minddet_tpu.ops.bilinear import bilinear_sample_2d
+from minddet_tpu.ops.hat_sample import hat_sample_2d
 
 
 def deform_conv2d(
@@ -34,6 +34,7 @@ def deform_conv2d(
     stride: int = 1,
     padding: int = 1,
     implementation: str = "auto",
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Modulated deformable conv. Returns (B, Ho, Wo, Cout).
 
@@ -61,11 +62,13 @@ def deform_conv2d(
     offs = offsets.reshape(b, p, k, 2)
     ys = (base_y + offs[..., 0]).reshape(b, p * k)
     xs = (base_x + offs[..., 1]).reshape(b, p * k)
+    scale = mask.reshape(b, p * k) if mask is not None else None
 
-    samp = bilinear_sample_2d(x, ys, xs, implementation)  # (B, P*K, Cin)
-    samp = samp.reshape(b, p, k, cin)
-    if mask is not None:
-        samp = samp * mask.reshape(b, p, k)[..., None].astype(samp.dtype)
+    # fused sample*modulate in one kernel (hat_sample.py) — the unfused
+    # (B, P, K, Cin) mask multiply was one of the largest HBM costs in the
+    # CenterNet train step before folding it in
+    samp = hat_sample_2d(x, ys, xs, scale, implementation,
+                         interpret=interpret)  # (B, P*K, Cin)
 
     # dtype follows the caller (the model passes bf16 weights/activations)
     wmat = weights.reshape(k * cin, cout)
