@@ -32,6 +32,7 @@ from minddet_tpu.models.readers.pillar_encoder import (
 from minddet_tpu.ops.anchors import (
     ClassAnchorConfig,
     anchors_bev_area_mask,
+    make_grid_area_mask,
     assign_targets_batch,
     generate_anchors,
 )
@@ -153,10 +154,10 @@ class PointPillars(nn.Module):
             out["dir_preds"] = self.conv_dir(x).reshape(b, -1, 2).astype(jnp.float32)
         return out
 
-    def anchor_set(self) -> Dict[str, jnp.ndarray]:
-        """Static per-config anchor grid + thresholds at the RPN output
-        stride (out_size_factor = layer_strides[0] // upsample_strides[0],
-        reference dataset_builder.py:38-41)."""
+    def anchor_layout(self):
+        """(feature_size, configs) at the RPN output stride (out_size_factor
+        = layer_strides[0] // upsample_strides[0], reference
+        dataset_builder.py:38-41)."""
         factor = self.rpn_strides[0] // self.rpn_up_strides[0]
         feature_size = (self.grid_ny // factor, self.grid_nx // factor)
         configs = [
@@ -171,6 +172,11 @@ class PointPillars(nn.Module):
                     self.unmatched_thresholds)
             )
         ]
+        return feature_size, configs
+
+    def anchor_set(self) -> Dict[str, jnp.ndarray]:
+        """Static per-config anchor grid + thresholds."""
+        feature_size, configs = self.anchor_layout()
         gen = generate_anchors(feature_size, configs)
         return {k: jnp.asarray(v) for k, v in gen.items()}
 
@@ -191,13 +197,24 @@ class PointPillars(nn.Module):
         )
         gen = self.anchor_set()
         anchors = gen["anchors"]
-        anchors_bv = rbbox_to_near_bbox(anchors[:, [0, 1, 3, 4, 6]])
-        amask = jax.vmap(
-            lambda c: anchors_bev_area_mask(
-                c, anchors_bv, (self.grid_ny, self.grid_nx),
-                self.voxel_size, self.pc_range, self.anchor_area_threshold,
-            )
-        )(vox.coords)
+        # regular-grid fast path: strided box-filters instead of the
+        # 4-gathers-per-anchor integral-image queries (ops/anchors.py)
+        feature_size, configs = self.anchor_layout()
+        grid_fn = make_grid_area_mask(
+            (self.grid_ny, self.grid_nx), self.voxel_size, self.pc_range,
+            feature_size, configs, self.anchor_area_threshold,
+        )
+        if grid_fn is not None:
+            amask = jax.vmap(grid_fn)(vox.coords)
+        else:
+            anchors_bv = rbbox_to_near_bbox(anchors[:, [0, 1, 3, 4, 6]])
+            amask = jax.vmap(
+                lambda c: anchors_bev_area_mask(
+                    c, anchors_bv, (self.grid_ny, self.grid_nx),
+                    self.voxel_size, self.pc_range,
+                    self.anchor_area_threshold,
+                )
+            )(vox.coords)
         t = assign_targets_batch(
             anchors, batch["gt_boxes"], batch["gt_classes"],
             batch["gt_mask"], gen["matched_threshold"],
@@ -328,13 +345,22 @@ class PointPillars(nn.Module):
             self.max_voxels, self.max_points_per_voxel,
         )
         gen = self.anchor_set()
-        anchors_bv = rbbox_to_near_bbox(gen["anchors"][:, [0, 1, 3, 4, 6]])
-        amask = jax.vmap(
-            lambda c: anchors_bev_area_mask(
-                c, anchors_bv, (self.grid_ny, self.grid_nx),
-                self.voxel_size, self.pc_range, self.anchor_area_threshold,
-            )
-        )(vox.coords)
+        feature_size, configs = self.anchor_layout()
+        grid_fn = make_grid_area_mask(
+            (self.grid_ny, self.grid_nx), self.voxel_size, self.pc_range,
+            feature_size, configs, self.anchor_area_threshold,
+        )
+        if grid_fn is not None:
+            amask = jax.vmap(grid_fn)(vox.coords)
+        else:
+            anchors_bv = rbbox_to_near_bbox(gen["anchors"][:, [0, 1, 3, 4, 6]])
+            amask = jax.vmap(
+                lambda c: anchors_bev_area_mask(
+                    c, anchors_bv, (self.grid_ny, self.grid_nx),
+                    self.voxel_size, self.pc_range,
+                    self.anchor_area_threshold,
+                )
+            )(vox.coords)
         return self.predict(
             vox.voxels, vox.num_points, vox.coords, gen["anchors"], amask,
             score_threshold, nms_pre, nms_post, nms_iou,

@@ -138,5 +138,12 @@ class PointPillarsScatter(nn.Module):
         gx = jnp.where(valid, gx, self.nx)
         canvas = jnp.zeros((b, self.ny, self.nx, c), pillar_features.dtype)
         bidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, v))
-        canvas = canvas.at[bidx, gy, gx].set(pillar_features, mode="drop")
+        # `voxelize` emits slots ordered by linear cell index with one pillar
+        # per cell, so the scatter is sorted and conflict-free — the hints let
+        # XLA skip the packed compare-exchange lowering it otherwise uses for
+        # last-write-wins semantics (was ~15 ms/step at KITTI scale)
+        canvas = canvas.at[bidx, gy, gx].set(
+            pillar_features, mode="drop", indices_are_sorted=True,
+            unique_indices=True,
+        )
         return canvas

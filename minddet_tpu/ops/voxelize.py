@@ -94,24 +94,29 @@ def voxelize(
     rank = pos - first_pos
 
     keep = (svid < big) & (slot < max_voxels) & (rank < max_points)
-    slot_c = jnp.where(keep, slot, max_voxels)  # dump dropped into overflow row
-    rank_c = jnp.where(keep, rank, 0)
+    # dropped points keep their (nondecreasing) slot and get an out-of-bounds
+    # rank, so mode="drop" discards them while the index sequence stays
+    # lexicographically sorted and the surviving pairs are unique — the hints
+    # keep XLA from emitting the conflict-resolving scatter lowering
+    rank_c = jnp.where(keep, rank, max_points)
 
     voxels = jnp.zeros((max_voxels + 1, max_points, f), points.dtype)
-    voxels = voxels.at[slot_c, rank_c].set(points[order], mode="drop")
+    voxels = voxels.at[slot, rank_c].set(
+        points[order], mode="drop", indices_are_sorted=True,
+        unique_indices=True,
+    )
 
     counts = jnp.zeros((max_voxels + 1,), jnp.int32)
-    counts = counts.at[slot_c].add(keep.astype(jnp.int32), mode="drop")
+    counts = counts.at[slot].add(
+        keep.astype(jnp.int32), mode="drop", indices_are_sorted=True
+    )
 
     sg = g[order]
     coords_full = jnp.stack([sg[:, 2], sg[:, 1], sg[:, 0]], axis=-1)  # gz, gy, gx
     coords = jnp.full((max_voxels + 1, 3), -1, jnp.int32)
-    coords = coords.at[slot_c].set(
-        jnp.where(keep[:, None], coords_full, -1), mode="drop"
+    coords = coords.at[jnp.where(first & keep, slot, max_voxels + 1)].set(
+        coords_full, mode="drop"
     )
-    # the .at[].set above may be overwritten by dropped points writing -1 into
-    # slot max_voxels only; for kept voxels every point of the voxel writes the
-    # same coords, so last-write-wins is safe.
     num_voxels = jnp.minimum(jnp.max(slot) + 1, max_voxels).astype(jnp.int32)
     return VoxelizeOutput(
         voxels[:max_voxels], counts[:max_voxels], coords[:max_voxels], num_voxels

@@ -131,3 +131,57 @@ def test_distance_similarity_assignment():
     labels = np.asarray(out["labels"])
     assert labels[0] == 1     # ~0.22 m away: sim ~0.89 > matched 0.8
     assert labels[2] == 0     # far anchor: negative similarity -> background
+
+
+def test_grid_area_mask_matches_generic():
+    """Strided box-filter fast path == per-anchor integral-image queries on
+    the production KITTI car layout (496x432 grid, stride-2 anchor grid)."""
+    from minddet_tpu.ops.anchors import (
+        ClassAnchorConfig,
+        generate_anchors,
+        make_grid_area_mask,
+    )
+
+    grid = (496, 432)
+    vs = (0.16, 0.16, 4.0)
+    pcr = (0.0, -39.68, -3.0, 69.12, 39.68, 1.0)
+    feature_size = (248, 216)
+    cfgs = [ClassAnchorConfig(
+        name="car", sizes=(1.6, 3.9, 1.56), strides=(0.32, 0.32, 0.0),
+        offsets=(0.16, -39.52, -1.78))]
+    gen = generate_anchors(feature_size, cfgs)
+    anchors_bv = rbbox_to_near_bbox(
+        jnp.asarray(gen["anchors"])[:, [0, 1, 3, 4, 6]])
+
+    rs = np.random.RandomState(0)
+    n = 600
+    coords = np.stack([
+        np.zeros(n, np.int64),
+        rs.randint(0, grid[0], n),
+        rs.randint(0, grid[1], n),
+    ], 1)
+    coords[-50:] = -1  # padding entries
+    coords = jnp.asarray(coords)
+
+    ref = np.asarray(anchors_bev_area_mask(
+        coords, anchors_bv, grid, vs, pcr, area_threshold=1.0))
+    fn = make_grid_area_mask(grid, vs, pcr, feature_size, cfgs, 1.0)
+    assert fn is not None, "production layout must qualify for the fast path"
+    got = np.asarray(fn(coords))
+    assert got.shape == ref.shape
+    assert np.array_equal(got, ref)
+
+
+def test_grid_area_mask_rejects_irregular_layouts():
+    from minddet_tpu.ops.anchors import ClassAnchorConfig, make_grid_area_mask
+
+    base = dict(sizes=(1.6, 3.9, 1.56), offsets=(0.16, -39.52, -1.78))
+    bad_stride = [ClassAnchorConfig(name="x", strides=(0.3, 0.32, 0.0), **base)]
+    assert make_grid_area_mask((496, 432), (0.16, 0.16, 4.0),
+                               (0.0, -39.68, -3.0, 69.12, 39.68, 1.0),
+                               (248, 216), bad_stride) is None
+    bad_rot = [ClassAnchorConfig(name="x", strides=(0.32, 0.32, 0.0),
+                                 rotations=(0.3,), **base)]
+    assert make_grid_area_mask((496, 432), (0.16, 0.16, 4.0),
+                               (0.0, -39.68, -3.0, 69.12, 39.68, 1.0),
+                               (248, 216), bad_rot) is None
