@@ -26,6 +26,45 @@ from minddet_tpu.ops.targets import centerpoint_targets_batch
 from minddet_tpu.ops.voxelize import decorate_pillar_features, voxelize_batch
 
 
+def unflip_task_map(pred: Dict[str, jnp.ndarray], fx: bool, fy: bool
+                    ) -> Dict[str, jnp.ndarray]:
+    """Map a task head's prediction maps from a flipped world back to the
+    original frame (double-flip TTA; det3d semantics — the reference's
+    ``center_head.py:274`` advertises the merge but never implements it).
+
+    Maps are (B, H, W, C) with H the y axis. The decode reads a center as
+    ``(cell + reg) * cell_size + range_min``; with a range symmetric about 0
+    the mirrored grid coordinate is exactly ``N - g``, i.e. flip the axis and
+    replace the sub-cell offset with ``1 - reg``. Yaw (sin, cos) and velocity
+    components change sign per axis: y-flip maps yaw to -yaw (sin negates),
+    x-flip maps yaw to pi - yaw (cos negates).
+    """
+    out = {}
+    for k, m in pred.items():
+        q = m
+        if fy:
+            q = q[:, ::-1]
+        if fx:
+            q = q[:, :, ::-1]
+        if k == "reg":
+            rx = 1.0 - q[..., 0] if fx else q[..., 0]
+            ry = 1.0 - q[..., 1] if fy else q[..., 1]
+            q = jnp.stack([rx, ry], axis=-1)
+        elif k == "rot":  # (sin, cos)
+            s = -q[..., 0] if fy else q[..., 0]
+            c = -q[..., 1] if fx else q[..., 1]
+            q = jnp.stack([s, c], axis=-1)
+        elif k == "vel":  # (vx, vy)
+            vx = -q[..., 0] if fx else q[..., 0]
+            vy = -q[..., 1] if fy else q[..., 1]
+            q = jnp.stack([vx, vy], axis=-1)
+        out[k] = q
+    return out
+
+
+_FLIPS = ((False, False), (False, True), (True, False), (True, True))
+
+
 @DETECTORS.register_module()
 class CenterPoint(nn.Module):
     """Defaults mirror ``nusc_centerpoint_pp_02voxel_two_pfn_10sweep.py``."""
@@ -144,6 +183,69 @@ class CenterPoint(nn.Module):
         return self.predict(
             vox.voxels, vox.num_points, vox.coords, score_threshold,
             nms_pre, nms_post, nms_iou,
+        )
+
+    def predict_tta_double_flip(
+        self,
+        points: jnp.ndarray,
+        points_mask: jnp.ndarray,
+        score_threshold: float = 0.1,
+        nms_pre: int = 1000,
+        nms_post: int = 83,
+        nms_iou: float = 0.2,
+    ) -> Dict[str, jnp.ndarray]:
+        """Double-flip test-time augmentation, one fused device program.
+
+        Runs the network on {original, y-flip, x-flip, xy-flip} point clouds
+        as a single 4B batch (reference ``pipelines/test_aug.py:5-30``),
+        un-flips each variant's prediction maps, averages in map space, and
+        decodes once. Requires the BEV range symmetric about 0 on both axes
+        (the nuScenes +-51.2 m config).
+        """
+        pcr = self.pc_range
+        if abs(pcr[0] + pcr[3]) > 1e-4 or abs(pcr[1] + pcr[4]) > 1e-4:
+            raise ValueError(
+                "double-flip TTA needs an x/y range symmetric about 0, got "
+                f"{pcr}"
+            )
+        variants = []
+        for fx, fy in _FLIPS:
+            q = points
+            if fx:
+                q = q.at[..., 0].set(-q[..., 0])
+            if fy:
+                q = q.at[..., 1].set(-q[..., 1])
+            variants.append(q)
+        pts = jnp.concatenate(variants, axis=0)
+        msk = jnp.concatenate([points_mask] * 4, axis=0)
+        vox = voxelize_batch(
+            pts, msk, tuple(self.voxel_size), tuple(self.pc_range),
+            self.max_voxels, self.max_points_per_voxel,
+        )
+        preds = self(vox.voxels, vox.num_points, vox.coords, train=False)
+        b = points.shape[0]
+        merged = []
+        for pred in preds:
+            parts = [
+                unflip_task_map(
+                    {k: m.astype(jnp.float32)[i * b:(i + 1) * b]
+                     for k, m in pred.items()},
+                    fx, fy,
+                )
+                for i, (fx, fy) in enumerate(_FLIPS)
+            ]
+            merged.append({
+                k: sum(p[k] for p in parts) / len(parts) for k in parts[0]
+            })
+        return self.head.predict(
+            merged,
+            pc_range=self.pc_range,
+            voxel_size=self.voxel_size,
+            out_size_factor=self.out_size_factor,
+            score_threshold=score_threshold,
+            nms_pre=nms_pre,
+            nms_post=nms_post,
+            nms_iou=nms_iou,
         )
 
     def loss(self, batch: Dict[str, Any], train: bool = True):

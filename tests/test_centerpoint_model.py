@@ -131,3 +131,71 @@ def test_predict(setup):
     # labels are global (task-offset) class ids in [0, 3) or -1
     lb = np.asarray(out["labels"])
     assert lb.max() < sum(TASKS) and lb.min() >= -1
+
+
+def test_unflip_task_map_roundtrips_each_axis():
+    """Analytic double-flip check: build the map a flipped-world network
+    would produce for one object and assert unflip recovers the original."""
+    from minddet_tpu.models.detectors.centerpoint import unflip_task_map
+
+    h, w = 8, 6
+    iy, ix = 2, 4
+    ry, rx = 0.3, 0.7
+    s, c = 0.6, 0.8
+    vx, vy = 1.5, -2.5
+
+    def maps(iy, ix, rx, ry, s, c, vx, vy):
+        # hm localizes the object; the regression maps are filled uniformly
+        # (their affine unflip transforms apply to every cell, peak or not)
+        z = lambda ch: np.zeros((1, h, w, ch), np.float32)
+        hm, hei = z(1), z(1)
+        hm[0, iy, ix, 0] = 1.0
+        hei[0, iy, ix, 0] = 0.9
+        reg = np.broadcast_to(np.float32([rx, ry]), (1, h, w, 2)).copy()
+        rot = np.broadcast_to(np.float32([s, c]), (1, h, w, 2)).copy()
+        vel = np.broadcast_to(np.float32([vx, vy]), (1, h, w, 2)).copy()
+        return {k: jnp.asarray(v) for k, v in
+                [("hm", hm), ("reg", reg), ("rot", rot), ("vel", vel),
+                 ("height", hei)]}
+
+    orig = maps(iy, ix, rx, ry, s, c, vx, vy)
+    cases = [
+        # (fx, fy) and the object as seen in that flipped world
+        (False, True, maps(h - 1 - iy, ix, rx, 1 - ry, -s, c, vx, -vy)),
+        (True, False, maps(iy, w - 1 - ix, 1 - rx, ry, s, -c, -vx, vy)),
+        (True, True, maps(h - 1 - iy, w - 1 - ix, 1 - rx, 1 - ry, -s, -c,
+                          -vx, -vy)),
+    ]
+    for fx, fy, flipped in cases:
+        back = unflip_task_map(flipped, fx, fy)
+        for k in orig:
+            np.testing.assert_allclose(
+                np.asarray(back[k]), np.asarray(orig[k]), atol=1e-6,
+                err_msg=f"key={k} fx={fx} fy={fy}")
+
+
+def test_predict_tta_double_flip_smoke():
+    """TTA path runs fused and returns the same structure as plain predict;
+    on the symmetric range the gate accepts, and scores stay finite."""
+    model = CenterPoint(
+        task_num_classes=TASKS, grid_ny=NY, grid_nx=NX, voxel_size=VS,
+        pc_range=PCR, rpn_filters=(32, 64, 128), rpn_up_filters=(32, 32, 32),
+        out_size_factor=OSF, max_voxels=MAXV, max_points_per_voxel=MAXP,
+    )
+    rs = np.random.RandomState(0)
+    n = 400
+    pts = rs.uniform(-4.9, 4.9, (1, n, 2))
+    z = rs.uniform(-2.5, 0.5, (1, n, 1))
+    feat = rs.rand(1, n, 2)
+    points = jnp.asarray(np.concatenate([pts, z, feat], -1).astype(np.float32))
+    mask = jnp.ones((1, n), bool)
+    variables = model.init(
+        jax.random.PRNGKey(0), points, mask, nms_pre=32, nms_post=8,
+        method=model.predict_from_points)
+    plain = model.apply(variables, points, mask, nms_pre=32, nms_post=8,
+                        method=model.predict_from_points)
+    tta = model.apply(variables, points, mask, nms_pre=32, nms_post=8,
+                      method=model.predict_tta_double_flip)
+    for k in plain:
+        assert tta[k].shape == plain[k].shape, k
+    assert np.isfinite(np.asarray(tta["scores"])).all()
