@@ -382,3 +382,42 @@ def test_kitti_batches_carry_gtaug_objects(tmp_path):
         iou = host_ops.rotated_iou_matrix(bev, bev)
         np.fill_diagonal(iou, 0)
         assert iou.max() < 1e-3
+
+
+def test_create_data_cli_gt_database(tmp_path):
+    """tools/create_data.py end-to-end: records glob -> pickled GT bank."""
+    import os
+    import subprocess
+    import sys
+
+    from minddet_tpu.data.records import write_records
+
+    rng = np.random.RandomState(0)
+    exs = []
+    for _ in range(3):
+        boxes = np.array([[5.0, 2.0, -1.5, 1.6, 3.9, 1.5, 0.2]], np.float32)
+        inside = rng.uniform(-0.5, 0.5, (40, 3)).astype(np.float32) * [
+            1.5, 3.5, 1.3] + boxes[0, :3] + [0, 0, boxes[0, 5] / 2]
+        noise = rng.uniform(-20, 20, (60, 3)).astype(np.float32)
+        pts = np.concatenate([inside, noise]).astype(np.float32)
+        pts = np.concatenate([pts, rng.rand(100, 1).astype(np.float32)], 1)
+        exs.append({
+            "points": pts,
+            "gt_boxes": boxes,
+            "gt_classes": np.array([1], np.int32),
+        })
+    write_records(str(tmp_path / "k"), exs)
+
+    out = tmp_path / "db.pkl"
+    r = subprocess.run(
+        [sys.executable, "tools/create_data.py", "gt-database",
+         "--records", str(tmp_path / "k-*.arrayrecord"),
+         "--classes", "Car", "--out", str(out)],
+        capture_output=True, text=True, cwd="/root/repo",
+        env={**os.environ, "JAX_PLATFORMS": "cpu"},
+    )
+    assert r.returncode == 0, r.stderr[-800:]
+    from minddet_tpu.data.gt_sampler import load_database
+    db = load_database(str(out))
+    assert len(db["Car"]) == 3
+    assert all(d["points"].shape[1] == 4 for d in db["Car"])
