@@ -59,7 +59,12 @@ from jax.experimental.pallas import tpu as pltpu
 from minddet_tpu.ops.bilinear import bilinear_sample_2d as _xla_sample
 
 _TILE_P = 256  # samples per grid step
-_MAX_WINDOW = 1024  # window texels per fast-path matmul
+# Window texels per fast-path matmul. A 256-sample tile spans ~1-2 image rows
+# of positions plus the 3x3 tap spread, so 8 rows (at W=64) fit comfortably
+# for the offset magnitudes DCN actually learns; tiles that spill take the
+# exact full-sweep fallback. 512 measured 13.3 ms/step faster than 1024 on
+# the CenterNet bs16 train step (58.2 vs 71.5 ms).
+_MAX_WINDOW = 512
 _MAX_VMEM_X_BYTES = 6 * 1024 * 1024
 
 
