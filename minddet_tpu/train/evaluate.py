@@ -292,6 +292,7 @@ def nuscenes_evaluate(
     batch_size: int = 2,
     max_frames: int = 0,
     score_threshold: float = 0.1,
+    tta: bool = False,
 ) -> Dict[str, float]:
     """CenterPoint -> nuScenes protocol metrics (mAP@{0.5,1,2,4} m, TP
     errors incl. mAAE via the CenterPoint submission attribute heuristic,
@@ -312,11 +313,14 @@ def nuscenes_evaluate(
     if n == 0:
         raise ValueError("need at least one full batch of frames")
 
+    # --options tta=true switches to double-flip TTA (reference DoubleFlip,
+    # pipelines/test_aug.py) — 4 flipped clouds, map-space merge, one decode
+    method = (model.predict_tta_double_flip if tta
+              else model.predict_from_points)
+
     @jax.jit
     def predict(points, mask):
-        return model.apply(
-            variables, points, mask, method=model.predict_from_points
-        )
+        return model.apply(variables, points, mask, method=method)
 
     gt_by_class = {c: [] for c in DETECTION_CLASSES}
     dt_by_class = {c: [] for c in DETECTION_CLASSES}
@@ -402,6 +406,8 @@ def main(argv=None) -> None:
     args = p.parse_args(argv)
 
     cfg = Config.fromfile(args.config).merge_from_options(args.options)
+    # flat (undotted) options act as evaluator switches, e.g. tta=true
+    opts = dict(o.split("=", 1) for o in args.options if "=" in o)
     mcfg = dict(cfg.model)
     model = DETECTORS.build(mcfg)
     image_hw = tuple(cfg.train.get("image_hw", (512, 512)))
@@ -455,6 +461,7 @@ def main(argv=None) -> None:
     if protocol == "nuscenes":
         stats = nuscenes_evaluate(
             model, variables, args.records, max_frames=args.max_images,
+            tta=opts.get("tta", "").lower() in ("1", "true", "yes"),
         )
         for k, v in stats.items():
             logger.info("%s: %.4f", k, v)
