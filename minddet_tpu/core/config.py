@@ -94,6 +94,9 @@ def _parse_scalar(text: str) -> Any:
             return cast(text)
         except ValueError:
             pass
+    if text.startswith("[") and text.endswith("]"):  # [0.4,0.4,8.0]
+        text = text[1:-1]
+        return [_parse_scalar(t.strip()) for t in text.split(",") if t.strip()]
     if "," in text:
         return [_parse_scalar(t) for t in text.split(",") if t]
     return text

@@ -558,7 +558,13 @@ class NuScenesDetection:
     Each example: points (max_points, 5) padded + mask, gt_boxes (max_gt, 9),
     gt_classes (1-based into DETECTION_CLASSES), gt_attrs, gt_mask. With
     ``cbgs=True`` the epoch index set is class-balance-duplicated exactly like
-    the reference's ``load_infos`` (nuscenes.py:75-115).
+    the reference's ``load_infos`` (nuscenes.py:75-115). With ``gt_sampler``
+    set, per-class GT-AUG database pasting runs before global augmentation,
+    matching the reference training recipe order (db_sampler inside
+    ``Preprocess``, det3d_ms/datasets/pipelines/preprocess.py:85-112;
+    sample counts from configs_ms/nusc/pp/...sweep.py:94-110). Pasted boxes
+    have no source attribute; their ``gt_attrs`` slot is -1 (unlabeled),
+    which the mAAE protocol already skips.
     """
 
     def __init__(
@@ -568,12 +574,14 @@ class NuScenesDetection:
         max_gt: int = 500,
         cbgs: bool = False,
         augment: bool = False,
+        gt_sampler=None,
         seed: int = 0,
     ):
         self.records = RecordDataset(record_pattern)
         self.max_points = max_points
         self.max_gt = max_gt
         self.augment = augment
+        self.gt_sampler = gt_sampler
         self._rng = np.random.RandomState(seed)
         self._indices = np.arange(len(self.records))
         if cbgs:
@@ -600,6 +608,14 @@ class NuScenesDetection:
         boxes = rec["gt_boxes"].reshape(-1, 9)
         classes = rec["gt_classes"]
         attrs = rec.get("gt_attrs", np.full(len(classes), -1, np.int32))
+        if self.gt_sampler is not None:
+            n_before = len(boxes)
+            points, boxes, classes = self.gt_sampler.sample(
+                self._rng, points, boxes, classes
+            )
+            attrs = np.concatenate(
+                [attrs, np.full(len(boxes) - n_before, -1, np.int32)]
+            )
         if self.augment:
             points, boxes = global_augment_3d(self._rng, points, boxes)
 

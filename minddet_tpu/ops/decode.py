@@ -111,7 +111,8 @@ def simple_topk(
     """
     b, h, w, c = heat.shape
     flat = jnp.transpose(heat, (0, 3, 1, 2)).reshape(b, c * h * w)
-    scores, inds = jax.lax.top_k(flat, k)
+    # tiny grids (tests / debug configs) can have fewer cells than nms_pre
+    scores, inds = jax.lax.top_k(flat, min(k, c * h * w))
     classes = (inds // (h * w)).astype(jnp.int32)
     pos = inds % (h * w)
     ys = (pos // w).astype(jnp.float32)

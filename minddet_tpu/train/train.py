@@ -231,18 +231,44 @@ def kitti_batches(cfg, batch_size: int, seed: int = 0):
 
 def nuscenes_batches(cfg, batch_size: int, seed: int = 0):
     """nuScenes pipeline: merged-sweep records -> CBGS-balanced sampling ->
-    global flip/rot/scale/translate (host); voxelize + per-task heatmap
-    targets run on device (``CenterPoint.loss_from_gt``)."""
+    GT-AUG database paste -> global flip/rot/scale/translate (host);
+    voxelize + per-task heatmap targets run on device
+    (``CenterPoint.loss_from_gt``). Mirrors the reference recipe
+    (db_sampler + Preprocess, configs_ms/nusc/pp/...sweep.py:94-137,
+    det3d_ms/datasets/pipelines/preprocess.py:85-112)."""
+    from minddet_tpu.data.gt_sampler import (
+        DataBaseSampler,
+        build_gt_database,
+        load_database,
+    )
     from minddet_tpu.data.loader import DataLoader, DistributedSampler
-    from minddet_tpu.data.nuscenes import NuScenesDetection
+    from minddet_tpu.data.nuscenes import DETECTION_CLASSES, NuScenesDetection
 
     dcfg = cfg.data
+    sampler_obj = None
+    scfg = dcfg.get("gt_sampler", None)
+    if scfg:
+        path = scfg.get("database", None)
+        if path and os.path.exists(path):
+            db = load_database(path)
+        else:  # build from the train records (withvelo-db equivalent)
+            db = build_gt_database(
+                NuScenesDetection(dcfg.records), DETECTION_CLASSES,
+                min_points=dict(scfg.get("min_points", {})) or 5,
+            )
+        sampler_obj = DataBaseSampler(
+            db,
+            {str(k): int(v) for k, v in dict(scfg.get(
+                "max_per_class", {"car": 2})).items()},
+            {c: i + 1 for i, c in enumerate(DETECTION_CLASSES)},
+        )
     ds = NuScenesDetection(
         dcfg.records,
         max_points=int(dcfg.get("max_points", 120000)),
         max_gt=int(dcfg.get("max_gt", 500)),
         cbgs=bool(dcfg.get("cbgs", True)),
         augment=bool(dcfg.get("augment", True)),
+        gt_sampler=sampler_obj,
         seed=seed,
     )
     sampler = DistributedSampler(

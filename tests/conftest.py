@@ -22,3 +22,13 @@ import jax  # noqa: E402
 # so tests always run on the fake 8-device CPU topology.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
+# Persistent compile cache: the heavyweight compiles (CenterPoint's 6-task
+# head, the R-CNN ROI path) dominate suite wall time; repeat runs on the same
+# host skip them entirely.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.expanduser("~/.cache/jax_comp_tests"),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+jax.config.update("jax_persistent_cache_enable_xla_caches", "all")

@@ -98,6 +98,61 @@ def test_gt_database_and_sampler():
         assert iou.max() < 1e-3
 
 
+@pytest.mark.skipif(not host_ops.available(), reason="native lib missing")
+def test_gt_database_and_sampler_9d_velocity_boxes():
+    """nuScenes-style GT-AUG: 9D [x,y,z_center,w,l,h,vx,vy,yaw] boxes, 5-dim
+    sweep points. Mirrors the reference's withvelo database semantics
+    (create_gt_database.py:55-62): sampled objects carry their source
+    velocity. Collision rejection must key off yaw = LAST column."""
+    rng = np.random.RandomState(0)
+
+    class FakeNusc:
+        def __init__(self):
+            # z-center convention: box z=-0.25, h=1.5 -> occupies [-1.0, 0.5]
+            box = np.array(
+                [[5.0, 0.0, -0.25, 2.0, 4.0, 1.5, 3.0, -1.0, 0.6]], np.float32
+            )
+            pts_in = rng.uniform(-0.8, 0.8, (50, 5)).astype(np.float32)
+            pts_in[:, 0] += 5.0
+            pts_in[:, 2] = rng.uniform(-0.9, 0.4, 50)
+            noise = rng.uniform(20, 30, (100, 5)).astype(np.float32)
+            self.records = [
+                {"points": np.concatenate([pts_in, noise]),
+                 "gt_boxes": box, "gt_classes": np.array([1], np.int32)}
+            ]
+
+        def __len__(self):
+            return 1
+
+    db = build_gt_database(FakeNusc(), ["car"], min_points={"car": 5})
+    assert len(db["car"]) == 1
+    assert len(db["car"][0]["points"]) >= 40  # z-center crop captured them
+    assert db["car"][0]["box"].shape == (9,)
+
+    sampler = DataBaseSampler(db, {"car": 4}, {"car": 1})
+    scene_pts = rng.uniform(-40, 40, (500, 5)).astype(np.float32)
+    # one pre-existing GT away from the db object's stored position
+    gt = np.array([[-8.0, -8.0, -0.25, 2.0, 4.0, 1.5, 0.0, 0.0, 0.6]], np.float32)
+    p2, b2, c2 = sampler.sample(
+        rng, scene_pts, gt, np.array([1], np.int32)
+    )
+    assert b2.shape[-1] == 9 and len(b2) > 1
+    pasted = b2[1:]
+    # source velocity rides along (withvelo)
+    np.testing.assert_allclose(
+        pasted[:, 6:8], np.tile([3.0, -1.0], (len(pasted), 1)), atol=1e-6
+    )
+    # no pasted box collides with the original GT or each other (yaw = col 8)
+    bev = b2[:, [0, 1, 3, 4, 8]]
+    iou = host_ops.rotated_iou_matrix(bev, bev)
+    np.fill_diagonal(iou, 0)
+    assert iou.max() < 1e-3
+    # object points were translated to each accepted box center
+    for box in pasted:
+        near = np.linalg.norm(p2[:, :2] - box[:2], axis=1) < 2.5
+        assert near.sum() >= 40
+
+
 def _nusc_sample(rng, n=5, jitter=0.0):
     boxes = np.zeros((n, 9), np.float64)
     boxes[:, :2] = rng.uniform(-40, 40, (n, 2))

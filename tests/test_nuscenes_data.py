@@ -49,12 +49,16 @@ def _write_fake_nusc(root):
             "prev": f"sd{i - 1}" if i > 0 else "",
             "next": f"sd{i + 1}" if i < 4 else "",
         })
-        # point cloud in the lidar frame at time t: noise + a cluster at the
-        # parked car's lidar-frame position (car global (10, 0, 0.75))
+        # point cloud in the lidar frame at time t: noise + clusters at the
+        # parked car (global (10, 0, 0.75)) and the walking pedestrian
+        # (global (5, 3t, 0.9))
         pts = rng.uniform(-1.5, 20, (200, 5)).astype(np.float32)
         car_lidar = np.array([10.0 - 2.0 * t, 0.0, 0.75 - 1.8], np.float32)
         cluster = car_lidar + rng.uniform(-0.7, 0.7, (50, 3)).astype(np.float32)
         pts[:50, :3] = cluster
+        ped_lidar = np.array([5.0 - 2.0 * t, 3.0 * t, 0.9 - 1.8], np.float32)
+        pts[50:80, :3] = ped_lidar + rng.uniform(
+            -0.25, 0.25, (30, 3)).astype(np.float32)
         pts.tofile(os.path.join(root, fname))
 
     samples = [
@@ -185,31 +189,56 @@ def test_records_roundtrip_to_centerpoint_loss(tmp_path):
     import jax
     import jax.numpy as jnp
 
+    from minddet_tpu.data.gt_sampler import DataBaseSampler, build_gt_database
     from minddet_tpu.models.detectors.centerpoint import CenterPoint
+    from minddet_tpu.ops import host_ops
 
     root = _write_fake_nusc(str(tmp_path))
     out = str(tmp_path / "nusc")
     paths = create_nuscenes_records(root, out, "v1.0-test", nsweeps=3)
     assert paths and os.path.exists(out + "-classsets.json")
 
-    ds = NuScenesDetection(out + "-*.arrayrecord", max_points=2048,
+    ds = NuScenesDetection(out + "-*.arrayrecord", max_points=1024,
                            max_gt=32, cbgs=True, augment=True)
     ex = ds[0]
-    assert ex["points"].shape == (2048, 5)
+    assert ex["points"].shape == (1024, 5)
     assert ex["gt_boxes"].shape == (32, 9)
     assert ex["gt_mask"].sum() == 2
     got = {DETECTION_CLASSES[c - 1] for c in ex["gt_classes"][ex["gt_mask"]]}
     assert got == {"car", "pedestrian"}
 
+    # GT-AUG hook: database built from the records, pasted objects must show
+    # up in the batch with unlabeled attributes (reference wiring:
+    # preprocess.py:85-112 with configs_ms sample_groups)
+    if host_ops.available():
+        db = build_gt_database(ds, DETECTION_CLASSES, min_points=5)
+        assert len(db["car"]) >= 1
+        aug = NuScenesDetection(
+            out + "-*.arrayrecord", max_points=1024, max_gt=32,
+            # generous quota: most db entries collide with their own source
+            # positions in frame 0, only ego-shifted ones can be accepted
+            gt_sampler=DataBaseSampler(
+                db, {"car": 8, "pedestrian": 8},
+                {c: i + 1 for i, c in enumerate(DETECTION_CLASSES)},
+            ),
+        )
+        ex_aug = aug[0]
+        assert ex_aug["gt_mask"].sum() > 2  # something was pasted
+        assert np.all(ex_aug["gt_attrs"][2:][ex_aug["gt_mask"][2:]] == -1)
+        ds = aug  # feed the GT-AUG batch through the loss below
+
     batch = {
         k: jnp.asarray(np.stack([ds[0][k], ds[1][k]]))
         for k in ("points", "points_mask", "gt_boxes", "gt_classes", "gt_mask")
     }
+    # tiny grid: this test's job is pipeline plumbing, not kernel scale (the
+    # 128x128 variant compiled for ~4 min on a CPU host; grid coverage lives
+    # in test_centerpoint_model.py)
     model = CenterPoint(
-        task_num_classes=(1, 2, 2, 1, 2, 2), grid_ny=128, grid_nx=128,
-        voxel_size=(0.2, 0.2, 8.0), pc_range=(-12.8, -12.8, -5.0, 12.8, 12.8, 3.0),
-        max_voxels=1024, max_points_per_voxel=8, max_objs=32,
-        rpn_filters=(32, 64, 128), rpn_up_filters=(32, 32, 32),
+        task_num_classes=(1, 2, 2, 1, 2, 2), grid_ny=64, grid_nx=64,
+        voxel_size=(0.4, 0.4, 8.0), pc_range=(-12.8, -12.8, -5.0, 12.8, 12.8, 3.0),
+        max_voxels=512, max_points_per_voxel=8, max_objs=32,
+        rpn_filters=(16, 32, 64), rpn_up_filters=(16, 16, 16),
     )
     variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
                            method=model.loss_from_gt)
@@ -218,8 +247,12 @@ def test_records_roundtrip_to_centerpoint_loss(tmp_path):
         mutable=["batch_stats"],
     )
     assert np.isfinite(float(total))
-    out_p = model.apply(variables, batch["points"], batch["points_mask"],
-                        method=model.predict_from_points)
+    # jit like the real eval path — eager op-by-op dispatch of the fused
+    # predict program (voxelize + decode + rotated NMS) is ~90 s on CPU
+    out_p = jax.jit(
+        lambda p, m: model.apply(variables, p, m,
+                                 method=model.predict_from_points)
+    )(batch["points"], batch["points_mask"])
     assert out_p["boxes"].shape[0] == 2
 
 
