@@ -78,16 +78,51 @@ def voxelize(
     big = nx * ny * nz + 1
     vid = jnp.where(in_range, vid, big)
 
-    # stable sort keeps input order within a voxel (first-come priority)
-    order = jnp.argsort(vid, stable=True)
-    svid = vid[order]
+    # Stable sort keeps input order within a voxel (first-come priority).
+    # PERF: the payload (point features + grid coords + original index)
+    # rides INSIDE multi-operand lax.sort instead of being gathered with
+    # points[order] afterwards — XLA lowers an (N, F) gather to a ~165 ns/row
+    # dynamic-slice loop (3.5 ms at KITTI scale, round-3 xplane trace), while
+    # extra sort operands move through the on-chip sort network for ~free.
+    pos = jnp.arange(n, dtype=jnp.int32)
+    pcols = tuple(points[:, i] for i in range(f))
+    gcols = (g[:, 0], g[:, 1], g[:, 2])
+    sorted1 = jax.lax.sort(
+        (vid, pos) + pcols + gcols, num_keys=1, is_stable=True
+    )
+    svid, order = sorted1[0], sorted1[1]
 
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), svid[1:] != svid[:-1]]
+    ) & (svid < big)
+    # Voxel slots must follow FIRST-APPEARANCE order (the reference's numba
+    # hash grid keeps the first max_voxels voxels it encounters in point
+    # order, point_cloud_ops.py:20-114) — not ascending voxel id. Forward-
+    # fill each voxel's first point's ORIGINAL index (stable sort => the
+    # group head carries the minimal original index) with a segment-ffill
+    # scan (gather-free), then re-sort the groups by that key: ties (same
+    # voxel) keep their order, groups get first-come order. Invalid points
+    # are keyed to n so they stay in the tail.
+    def _ffill(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va)
+
+    _, firstidx = jax.lax.associative_scan(
+        _ffill, (first, jnp.where(first, order, 0))
+    )
+    firstidx = jnp.where(svid < big, firstidx, n)
+    sorted2 = jax.lax.sort(
+        (firstidx, svid) + sorted1[2:], num_keys=1, is_stable=True
+    )
+    svid = sorted2[1]
+    spoints = jnp.stack(sorted2[2 : 2 + f], axis=-1)
+    sgx, sgy, sgz = sorted2[2 + f : 2 + f + 3]
     first = jnp.concatenate(
         [jnp.ones((1,), bool), svid[1:] != svid[:-1]]
     ) & (svid < big)
     slot = jnp.cumsum(first.astype(jnp.int32)) - 1  # voxel slot per sorted point
     # forward-fill position of each voxel's first point -> rank inside voxel
-    pos = jnp.arange(n, dtype=jnp.int32)
     first_pos = jax.lax.associative_scan(
         jnp.maximum, jnp.where(first, pos, -1)
     )
@@ -97,12 +132,18 @@ def voxelize(
     # dropped points keep their (nondecreasing) slot and get an out-of-bounds
     # rank, so mode="drop" discards them while the index sequence stays
     # lexicographically sorted and the surviving pairs are unique — the hints
-    # keep XLA from emitting the conflict-resolving scatter lowering
+    # keep XLA from emitting the conflict-resolving scatter lowering.
+    # INVARIANT (load-bearing for unique_indices=True): duplicate (slot, rank)
+    # pairs exist ONLY among updates that are out of bounds — overflow points
+    # share rank==max_points per slot and out-of-range points share the tail
+    # slot — and XLA discards OOB updates before uniqueness matters. A backend
+    # that applied OOB updates or reordered the drop would corrupt voxels;
+    # tests/test_voxelize.py::test_heavy_drop_duplicates_are_oob pins this.
     rank_c = jnp.where(keep, rank, max_points)
 
     voxels = jnp.zeros((max_voxels + 1, max_points, f), points.dtype)
     voxels = voxels.at[slot, rank_c].set(
-        points[order], mode="drop", indices_are_sorted=True,
+        spoints, mode="drop", indices_are_sorted=True,
         unique_indices=True,
     )
 
@@ -111,8 +152,7 @@ def voxelize(
         keep.astype(jnp.int32), mode="drop", indices_are_sorted=True
     )
 
-    sg = g[order]
-    coords_full = jnp.stack([sg[:, 2], sg[:, 1], sg[:, 0]], axis=-1)  # gz, gy, gx
+    coords_full = jnp.stack([sgz, sgy, sgx], axis=-1)  # gz, gy, gx
     coords = jnp.full((max_voxels + 1, 3), -1, jnp.int32)
     coords = coords.at[jnp.where(first & keep, slot, max_voxels + 1)].set(
         coords_full, mode="drop"

@@ -98,6 +98,38 @@ def test_voxelize_masks_invalid_points():
     assert int(out.num_points[0]) == 1
 
 
+def test_heavy_drop_duplicates_are_oob():
+    """Stress the unique_indices=True invariant: duplicate (slot, rank)
+    scatter pairs exist only among out-of-bounds (dropped) updates. Heavy
+    dropping — tiny max_voxels/max_points, many overflow and out-of-range
+    points — must still reproduce the numpy reference exactly; a backend that
+    applied OOB updates or resolved duplicates differently would diverge."""
+    rng = np.random.RandomState(7)
+    # 4000 points crammed into a handful of cells: ~50% duplicates of a few
+    # centers (rank overflow), ~25% far out of range (tail-slot overflow)
+    centers = rng.uniform([0, -10, -2], [20, 10, 0], (6, 3))
+    dup = centers[rng.randint(0, 6, 2000)] + rng.normal(0, 0.01, (2000, 3))
+    spread = np.stack([rng.uniform(-5, 75, 1000), rng.uniform(-45, 45, 1000),
+                       rng.uniform(-4, 2, 1000)], -1)
+    oob = np.stack([rng.uniform(100, 300, 1000), rng.uniform(50, 90, 1000),
+                    rng.uniform(5, 9, 1000)], -1)
+    xyz = np.concatenate([dup, spread, oob]).astype(np.float32)
+    pts = np.concatenate([xyz, rng.rand(4000, 1).astype(np.float32)], -1)
+    perm = rng.permutation(4000)
+    pts = pts[perm]
+    out = voxelize(jnp.asarray(pts), jnp.ones(4000, bool), VS, PCR, 32, 4)
+    ref_vox, _ = _np_voxelize(pts, VS, PCR, 32, 4)
+    coords = np.asarray(out.coords)
+    counts = np.asarray(out.num_points)
+    voxels = np.asarray(out.voxels)
+    assert int(out.num_voxels) == len(ref_vox)
+    got = {tuple(coords[i]): voxels[i, : counts[i]]
+           for i in range(int(out.num_voxels))}
+    assert set(got) == set(ref_vox)
+    for key, ref_pts in ref_vox.items():
+        np.testing.assert_allclose(got[key], np.stack(ref_pts), atol=1e-5)
+
+
 def test_voxelize_batch_shapes():
     rng = np.random.RandomState(2)
     pts = np.stack([_rand_points(rng, 300) for _ in range(4)])
