@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Any, Dict, List, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from minddet_tpu.core.registry import DETECTORS
@@ -234,9 +235,19 @@ class CenterPoint(nn.Module):
                 )
                 for i, (fx, fy) in enumerate(_FLIPS)
             ]
-            merged.append({
-                k: sum(p[k] for p in parts) / len(parts) for k in parts[0]
-            })
+            # Upstream CenterPoint's double-flip merge averages *sigmoided*
+            # heatmaps, not logits. head.predict applies sigmoid, so store
+            # logit(mean(sigmoid(hm_i))): the later sigmoid then recovers the
+            # mean probability exactly. Regression maps average linearly.
+            out = {
+                k: sum(p[k] for p in parts) / len(parts)
+                for k in parts[0] if k != "hm"
+            }
+            if "hm" in parts[0]:
+                prob = sum(jax.nn.sigmoid(p["hm"]) for p in parts) / len(parts)
+                prob = jnp.clip(prob, 1e-6, 1.0 - 1e-6)
+                out["hm"] = jnp.log(prob) - jnp.log1p(-prob)
+            merged.append(out)
         return self.head.predict(
             merged,
             pc_range=self.pc_range,

@@ -65,7 +65,13 @@ _TILE_P = 256  # samples per grid step
 # exact full-sweep fallback. 512 measured 13.3 ms/step faster than 1024 on
 # the CenterNet bs16 train step (58.2 vs 71.5 ms).
 _MAX_WINDOW = 512
-_MAX_VMEM_X_BYTES = 6 * 1024 * 1024
+# Budget for the *backward* kernel's resident VMEM set — its worst case is
+# x + dx (same size) + a full f32 scratch image, i.e. h*w*c*(2*elt + 4)
+# bytes, ~4x the forward's x footprint. Gating on that (not on x alone)
+# leaves headroom in 16 MB VMEM for the tile buffers and avoids a Mosaic
+# allocation failure with no fallback on maps near the cap. The largest
+# CenterNet map (64x64x128 bf16) needs 4 MB, well inside the budget.
+_MAX_VMEM_BWD_BYTES = 8 * 1024 * 1024
 
 
 def _pad_to(v: int, m: int) -> int:
@@ -80,7 +86,13 @@ def _plan(h: int, w: int, c: int, x_bytes: int) -> Optional[Tuple[int, int]]:
     the dynamic slice needs ``w % 8 == 0`` unless the window covers the full
     map.
     """
-    if h * w * x_bytes > _MAX_VMEM_X_BYTES:
+    if h * w * c * (2 * x_bytes + 4) > _MAX_VMEM_BWD_BYTES:
+        return None
+    if w % 8 or h % 8:
+        # Mosaic requires the (sublane) image dims 8-aligned: the backward
+        # kernel fails to compile at w<8 ("cannot statically prove that index
+        # in dimension 1 is a multiple of 8", verified on TPU at 2x2/4x4;
+        # 8x8 and up compile). Tiny maps fall back to the XLA gather path.
         return None
     wrows = max(1, min(h, _MAX_WINDOW // max(w, 1)))
     while h % wrows:  # windows must tile the map exactly
