@@ -110,11 +110,20 @@ class CocoDetection:
         max_hw: Tuple[int, int] = (640, 640),
         max_objs: int = 128,
         keep_raw: bool = False,
+        with_masks: bool = False,
+        mask_stride: int = 4,
     ):
+        """``with_masks`` adds per-object GT bitmaps (requires records written
+        with ``convert_coco_to_records(..., with_masks=True)``), rasterized at
+        ``1/mask_stride`` of canvas resolution — the Mask R-CNN loss crops
+        28x28 targets per ROI, so full-resolution dense bitmaps would waste
+        16x the host->device bandwidth for no accuracy."""
         self.records = RecordDataset(record_pattern)
         self.max_hw = max_hw
         self.max_objs = max_objs
         self.keep_raw = keep_raw
+        self.with_masks = with_masks
+        self.mask_stride = mask_stride
 
     def __len__(self) -> int:
         return len(self.records)
@@ -151,10 +160,36 @@ class CocoDetection:
             "mask": mask,
             "image_id": rec["image_id"],
         }
+        if self.with_masks:
+            out["bitmaps"] = self._bitmaps(rec, h, w)
         if self.keep_raw:
             out["raw_boxes"] = rec["boxes"]
             out["raw_labels"] = rec["labels"]
             out["raw_iscrowd"] = rec["iscrowd"]
+            if "segmentations" in rec:
+                out["raw_segmentations"] = rec["segmentations"]
+        return out
+
+    def _bitmaps(self, rec: Dict[str, Any], h: int, w: int) -> np.ndarray:
+        """(mh/s, mw/s, max_objs) uint8 GT bitmaps in canvas space, matching
+        the image placement in ``__getitem__`` (top-left, scale ``h/ih``)."""
+        import cv2
+
+        s = self.mask_stride
+        mh, mw = self.max_hw
+        out = np.zeros((mh // s, mw // s, self.max_objs), np.uint8)
+        segs = rec.get("segmentations")
+        if segs is None:
+            return out
+        seg_list = json.loads(segs.decode() if isinstance(segs, bytes) else segs)
+        ih, iw = int(rec["hw"][0]), int(rec["hw"][1])
+        bh, bw = max(1, round(h / s)), max(1, round(w / s))
+        for i, seg in enumerate(seg_list[: self.max_objs]):
+            if not seg:
+                continue
+            m = rasterize_polygons(seg, ih, iw)
+            m = cv2.resize(m, (bw, bh), interpolation=cv2.INTER_NEAREST)
+            out[:bh, :bw, i] = m
         return out
 
 
@@ -162,19 +197,36 @@ def evaluate_coco_detections(
     dataset: CocoDetection,
     predictions: Dict[int, Dict[str, np.ndarray]],
     num_classes: int = 80,
+    segm: bool = False,
 ) -> Dict[str, float]:
-    """predictions: image_id -> {boxes (N,4) original pixels, scores, labels}.
+    """predictions: image_id -> {boxes (N,4) original pixels, scores, labels,
+    [masks (N,H,W) bool when ``segm``]}.
 
     Runs the COCO-protocol evaluator over the dataset's GT (the reference's
-    ``run_eval`` -> COCOeval path, centernet/eval.py:179-188).
+    ``run_eval`` -> COCOeval path, centernet/eval.py:179-188). ``segm=True``
+    switches to mask-IoU matching (pycocotools iouType='segm'): GT bitmaps
+    are rasterized from the records' stored polygon/RLE segmentations.
     """
+    import json as _json
+
     ev = COCOEvaluator(list(range(num_classes)))
+    empty = {"boxes": np.zeros((0, 4)), "scores": np.zeros(0),
+             "labels": np.zeros(0)}
     for i in range(len(dataset.records)):
         rec = dataset.records[i]
         img_id = int(rec["image_id"])
-        pred = predictions.get(
-            img_id, {"boxes": np.zeros((0, 4)), "scores": np.zeros(0), "labels": np.zeros(0)}
-        )
+        pred = predictions.get(img_id, empty)
+        gt_masks = None
+        if segm:
+            ih, iw = int(rec["hw"][0]), int(rec["hw"][1])
+            segs = rec.get("segmentations")
+            seg_list = _json.loads(
+                segs.decode() if isinstance(segs, bytes) else segs
+            ) if segs is not None else []
+            gt_masks = np.zeros((len(rec["boxes"]), ih, iw), bool)
+            for gi, seg in enumerate(seg_list[: len(rec["boxes"])]):
+                if seg:
+                    gt_masks[gi] = rasterize_polygons(seg, ih, iw) > 0
         for c in range(num_classes):
             gm = rec["labels"] == c
             pm = np.asarray(pred["labels"]) == c
@@ -184,6 +236,11 @@ def evaluate_coco_detections(
                 np.asarray(pred["scores"])[pm],
                 rec["boxes"][gm],
                 rec["iscrowd"][gm].astype(bool),
+                dt_masks=(np.asarray(pred["masks"])[pm]
+                          if segm and "masks" in pred else
+                          np.zeros((int(pm.sum()),) + gt_masks.shape[1:], bool)
+                          if segm else None),
+                gt_masks=gt_masks[gm] if segm else None,
             )
     return ev.summarize()
 
@@ -219,6 +276,40 @@ def rasterize_polygons(
         pts = np.asarray(poly, np.float64).reshape(-1, 2)
         cv2.fillPoly(mask, [np.round(pts).astype(np.int32)], 1)
     return mask
+
+
+def paste_masks_to_image(
+    masks: np.ndarray,       # (D, m, m) float [0,1] ROI-space mask probs
+    boxes: np.ndarray,       # (D, 4) xyxy absolute pixels (target image space)
+    height: int,
+    width: int,
+    threshold: float = 0.5,
+) -> np.ndarray:
+    """Paste per-detection ROI masks to full image resolution -> (D, H, W)
+    bool. The Mask R-CNN paste step (the mmdet/detectron ``paste_masks_in_
+    image`` equivalent, absent from the reference which ships no mask model):
+    bilinear-resize each 28x28 mask into its box, threshold at 0.5.
+    Host-side eval utility — prediction masks arrive per-ROI from
+    ``FasterRCNN.predict``."""
+    import cv2
+
+    d = len(masks)
+    out = np.zeros((d, height, width), bool)
+    for i in range(d):
+        x1, y1, x2, y2 = boxes[i]
+        x1i, y1i = int(np.floor(x1)), int(np.floor(y1))
+        x2i, y2i = int(np.ceil(x2)), int(np.ceil(y2))
+        x1c, y1c = max(x1i, 0), max(y1i, 0)
+        x2c, y2c = min(x2i, width), min(y2i, height)
+        bw, bh = x2i - x1i, y2i - y1i
+        if bw <= 0 or bh <= 0 or x2c <= x1c or y2c <= y1c:
+            continue
+        m = cv2.resize(masks[i].astype(np.float32), (bw, bh),
+                       interpolation=cv2.INTER_LINEAR)
+        out[i, y1c:y2c, x1c:x2c] = (
+            m[y1c - y1i : y2c - y1i, x1c - x1i : x2c - x1i] >= threshold
+        )
+    return out
 
 
 def example_gt_bitmaps(rec: Dict[str, Any], max_objs: int, hw) -> np.ndarray:

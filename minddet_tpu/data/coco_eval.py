@@ -69,8 +69,10 @@ def _evaluate_img(dts, gts, area_rng, max_det):
     g_boxes = gts["boxes"]
     segm = gts.get("masks") is not None
     crowd = gts["iscrowd"].astype(bool)
-    if segm:
+    if segm and len(g_boxes):
         g_area = gts["masks"].reshape(len(g_boxes), -1).sum(1).astype(np.float64)
+    elif segm:
+        g_area = np.zeros(0)
     else:
         g_area = (
             (g_boxes[:, 2] - g_boxes[:, 0]) * (g_boxes[:, 3] - g_boxes[:, 1])

@@ -27,16 +27,18 @@ def waymo_frame_to_example(points: np.ndarray, labels: Sequence[Dict]) -> Dict[s
     'type': int 1..3, 'num_points': int}] — the fields of
     waymo Label.Box. Boxes are stored [x, y, z_bottom, w, l, h, yaw].
     """
-    boxes, classes = [], []
+    boxes, classes, npts = [], [], []
     for lb in labels:
         cx, cy, cz = lb["center"]
         l, w, h = lb["size"]
         boxes.append([cx, cy, cz - h / 2.0, w, l, h, lb["heading"]])
         classes.append(int(lb["type"]))
+        npts.append(int(lb.get("num_points", 100)))
     return {
         "points": np.asarray(points, np.float32),
         "gt_boxes": np.asarray(boxes, np.float32).reshape(-1, 7),
         "gt_classes": np.asarray(classes, np.int32),
+        "num_points_in_gt": np.asarray(npts, np.int32),
     }
 
 
@@ -87,33 +89,87 @@ def convert_waymo_tfrecords(
 
 @DATASETS.register_module()
 class WaymoDetection:
-    """Record-backed Waymo dataset; same host contract as KittiDetection."""
+    """Record-backed Waymo dataset -> fixed-shape host examples.
 
-    def __init__(self, record_pattern: str, max_points: int = 160000, max_gt: int = 200):
+    Same host contract as ``NuScenesDetection`` (the model side is the same
+    CenterPoint): points (max_points, F) padded + mask, gt_boxes (max_gt, 9)
+    — records store 7D Waymo boxes; a zero (vx, vy) pair is inserted so the
+    shared velocity-aware CenterHead/augmentation path applies unchanged
+    (Waymo labels carry no velocity; the vel code-weight is simply wasted,
+    matching det3d's no-velocity waymo task) — gt_classes 1-based into
+    ``WAYMO_CLASSES``, gt_mask. ``gt_sampler``/``augment`` mirror the
+    nuScenes recipe (reference ``det3d_ms/datasets/waymo/waymo.py:7`` routes
+    through the same Preprocess pipeline).
+    """
+
+    def __init__(
+        self,
+        record_pattern: str,
+        max_points: int = 160000,
+        max_gt: int = 200,
+        augment: bool = False,
+        gt_sampler=None,
+        seed: int = 0,
+    ):
         self.records = RecordDataset(record_pattern)
         self.max_points = max_points
         self.max_gt = max_gt
+        self.augment = augment
+        self.gt_sampler = gt_sampler
+        self._rng = np.random.RandomState(seed)
 
     def __len__(self) -> int:
         return len(self.records)
 
     def __getitem__(self, idx: int) -> Dict[str, np.ndarray]:
+        from minddet_tpu.data.nuscenes import global_augment_3d
+
         rec = self.records[idx]
-        points = rec["points"]
+        points = np.asarray(rec["points"], np.float32)
+        boxes7 = np.asarray(rec["gt_boxes"], np.float32).reshape(-1, 7)
+        classes = np.asarray(rec["gt_classes"], np.int32)
+        if self.gt_sampler is not None:  # database holds the records' 7D boxes
+            points, boxes7, classes = self.gt_sampler.sample(
+                self._rng, points, boxes7, classes
+            )
+        # 7D [x,y,z_bottom,...] -> 9D z-CENTER zero-velocity boxes (the
+        # CenterPoint target/9D-augment convention, data/nuscenes.py)
+        if len(boxes7):
+            boxes = np.concatenate(
+                [boxes7[:, :2], (boxes7[:, 2] + boxes7[:, 5] / 2)[:, None],
+                 boxes7[:, 3:6], np.zeros((len(boxes7), 2), np.float32),
+                 boxes7[:, 6:7]], axis=1,
+            )
+        else:
+            boxes = np.zeros((0, 9), np.float32)
+        if self.augment:
+            points, boxes = global_augment_3d(self._rng, points, boxes)
+
         n = min(len(points), self.max_points)
         p = np.zeros((self.max_points, points.shape[-1]), np.float32)
-        p[:n] = points[:n]
-        g = min(len(rec["gt_boxes"]), self.max_gt)
-        gb = np.zeros((self.max_gt, 7), np.float32)
+        sel = (
+            self._rng.permutation(len(points))[:n]
+            if len(points) > n else slice(0, n)
+        )
+        p[:n] = points[sel]
+        g = min(len(boxes), self.max_gt)
+        gb = np.zeros((self.max_gt, 9), np.float32)
         gc = np.zeros((self.max_gt,), np.int32)
         gm = np.zeros((self.max_gt,), bool)
-        gb[:g] = rec["gt_boxes"][:g]
-        gc[:g] = rec["gt_classes"][:g]
+        gb[:g] = boxes[:g]
+        gc[:g] = classes[:g]
         gm[:g] = True
-        return {
+        out = {
             "points": p,
             "points_mask": (np.arange(self.max_points) < n),
             "gt_boxes": gb,
             "gt_classes": gc,
             "gt_mask": gm,
         }
+        if "num_points_in_gt" in rec:
+            npts = np.full((self.max_gt,), 100, np.int32)
+            src = np.asarray(rec["num_points_in_gt"], np.int32)
+            k = min(g, len(src))  # pasted GT-AUG objects keep the default
+            npts[:k] = src[:k]
+            out["gt_num_points"] = npts
+        return out

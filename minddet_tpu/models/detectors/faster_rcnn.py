@@ -45,6 +45,7 @@ class FasterRCNN(nn.Module):
     rpn_post_nms: int = 512
     roi_samples: int = 256
     with_mask: bool = False
+    mask_stride: int = 4  # GT bitmap resolution = image_hw / mask_stride
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -133,7 +134,8 @@ class FasterRCNN(nn.Module):
                 pyramids[:4], samp["rois"], self.strides[:4], (14, 14)
             )
             mask_logits = self.mask_head(mask_feats)
-            m_loss = mask_head_loss(mask_logits, batch["gt_bitmaps"], samp)
+            m_loss = mask_head_loss(mask_logits, batch["gt_bitmaps"], samp,
+                                    stride=self.mask_stride)
             total = total + m_loss
             parts["mask"] = m_loss
         return total, parts

@@ -134,14 +134,21 @@ def box_head_loss(
 
 def mask_head_loss(
     mask_logits: jnp.ndarray,   # (B, R, 2m, 2m, C)
-    features_gt_masks: jnp.ndarray,  # (B, H, W, G) dense GT bitmaps
+    features_gt_masks: jnp.ndarray,  # (B, H/s, W/s, G) dense GT bitmaps
     targets: Dict[str, jnp.ndarray],
     mask_size: int = 28,
+    stride: int = 1,
 ) -> jnp.ndarray:
-    """BCE on GT-mask crops: crop each roi's matched GT bitmap with ROIAlign."""
+    """BCE on GT-mask crops: crop each roi's matched GT bitmap with ROIAlign.
+
+    ``stride`` is the GT bitmap downsampling factor relative to the image the
+    rois live in (the data pipeline ships bitmaps at image_hw/stride)."""
     b = mask_logits.shape[0]
-    rois = targets["rois"]
-    crops = roi_align(features_gt_masks, rois, (mask_size, mask_size), 2)
+    rois = targets["rois"] / float(stride)
+    crops = roi_align(
+        features_gt_masks.astype(jnp.float32), rois,
+        (mask_size, mask_size), 2,
+    )
     # select the matched GT channel per roi
     mg = targets["matched_gt"]
     crops = jnp.take_along_axis(

@@ -30,10 +30,32 @@ from minddet_tpu.data.transforms import eval_affine, warp_images
 import minddet_tpu.train.train  # noqa: F401  (populates the registry)
 
 
+def _pad_batch(arrays: np.ndarray, batch_size: int) -> np.ndarray:
+    """Pad a stacked host batch to ``batch_size`` by repeating the last row
+    so the jitted predict keeps one shape; callers slice outputs back to the
+    real count. This keeps tail frames in the protocol instead of dropping
+    ``n % batch_size`` images (which would count as GT with zero dets)."""
+    pad = batch_size - arrays.shape[0]
+    if pad <= 0:
+        return arrays
+    return np.concatenate([arrays, np.repeat(arrays[-1:], pad, axis=0)], 0)
+
+
 def coco_evaluate(model, variables, records: str, image_hw, num_classes: int,
-                  batch_size: int = 8, max_images: int = 0) -> Dict[str, float]:
+                  batch_size: int = 8, max_images: int = 0,
+                  segm: bool = False) -> Dict[str, float]:
     """Fixed-resolution eval path (zoo detectors): warp to ``image_hw``,
-    fused predict, inverse-affine back to original pixels."""
+    fused predict, inverse-affine back to original pixels.
+
+    ``segm=True`` (Mask R-CNN): the fused predict also returns per-ROI 28x28
+    masks; they are pasted to original image resolution on host
+    (``paste_masks_to_image``) and scored with the mask-IoU protocol
+    (pycocotools iouType='segm'); bbox stats are reported alongside with a
+    ``segm_`` prefix on the mask numbers. Requires records converted with
+    ``with_masks=True``. Dense per-detection bitmaps are held for all eval
+    images — shard with ``max_images`` for full-val runs."""
+    from minddet_tpu.data.coco import paste_masks_to_image
+
     ds = CocoDetection(records, max_objs=128, keep_raw=True)
     n = len(ds)
     if max_images:
@@ -44,17 +66,22 @@ def coco_evaluate(model, variables, records: str, image_hw, num_classes: int,
         return model.apply(variables, image, method=model.predict)
 
     predictions = {}
-    for start in range(0, n - n % batch_size, batch_size):
-        exs = [ds[i] for i in range(start, start + batch_size)]
-        images = jnp.asarray(np.stack([e["image"] for e in exs]))
-        hw = jnp.asarray(np.stack([e["hw"] for e in exs]))
+    for start in range(0, n, batch_size):
+        exs = [ds[i] for i in range(start, min(start + batch_size, n))]
+        images = jnp.asarray(
+            _pad_batch(np.stack([e["image"] for e in exs]), batch_size))
+        hw = jnp.asarray(
+            _pad_batch(np.stack([e["hw"] for e in exs]), batch_size))
         aff = eval_affine(hw, image_hw)
         warped = warp_images(images, aff, tuple(image_hw))
         out = predict(warped)
+        roi_masks = None
         if isinstance(out, dict):
             boxes = np.asarray(out["boxes"], np.float64)
             scores = np.asarray(out["scores"], np.float64)
             labels = np.asarray(out["labels"], np.int64)
+            if segm:
+                roi_masks = np.asarray(out["masks"], np.float32)
         else:  # CenterNet layout: (B, K, 6) at output stride 4
             det = np.asarray(out, np.float64)
             boxes = det[..., :4] * 4.0
@@ -69,12 +96,21 @@ def coco_evaluate(model, variables, records: str, image_hw, num_classes: int,
             y1 = m[1, 1] * b[:, 1] + m[1, 2]
             x2 = m[0, 0] * b[:, 2] + m[0, 2]
             y2 = m[1, 1] * b[:, 3] + m[1, 2]
-            predictions[int(ex["image_id"])] = {
+            pred = {
                 "boxes": np.stack([x1, y1, x2, y2], -1),
                 "scores": scores[bi],
                 "labels": labels[bi],
             }
+            if roi_masks is not None:
+                ih, iw = int(ex["hw"][0]), int(ex["hw"][1])
+                pred["masks"] = paste_masks_to_image(
+                    roi_masks[bi], pred["boxes"], ih, iw)
+            predictions[int(ex["image_id"])] = pred
     stats = evaluate_coco_detections(ds, predictions, num_classes)
+    if segm:
+        mask_stats = evaluate_coco_detections(
+            ds, predictions, num_classes, segm=True)
+        stats.update({f"segm_{k}": v for k, v in mask_stats.items()})
     return stats
 
 
@@ -242,7 +278,6 @@ def kitti_evaluate(
     n = len(ds)
     if max_frames:
         n = min(n, max_frames)
-    n -= n % batch_size
 
     @jax.jit
     def predict(points, mask):
@@ -252,9 +287,11 @@ def kitti_evaluate(
 
     gt_annos, dt_annos = [], []
     for start in range(0, n, batch_size):
-        exs = [ds[i] for i in range(start, start + batch_size)]
-        pts = jnp.asarray(np.stack([e["points"] for e in exs]))
-        msk = jnp.asarray(np.stack([e["points_mask"] for e in exs]))
+        exs = [ds[i] for i in range(start, min(start + batch_size, n))]
+        pts = jnp.asarray(
+            _pad_batch(np.stack([e["points"] for e in exs]), batch_size))
+        msk = jnp.asarray(
+            _pad_batch(np.stack([e["points_mask"] for e in exs]), batch_size))
         out = predict(pts, msk)
         for bi, ex in enumerate(exs):
             gt_annos.append({
@@ -309,9 +346,8 @@ def nuscenes_evaluate(
     n = len(ds)
     if max_frames:
         n = min(n, max_frames)
-    n -= n % batch_size
     if n == 0:
-        raise ValueError("need at least one full batch of frames")
+        raise ValueError("need at least one frame")
 
     # --options tta=true switches to double-flip TTA (reference DoubleFlip,
     # pipelines/test_aug.py) — 4 flipped clouds, map-space merge, one decode
@@ -325,9 +361,11 @@ def nuscenes_evaluate(
     gt_by_class = {c: [] for c in DETECTION_CLASSES}
     dt_by_class = {c: [] for c in DETECTION_CLASSES}
     for start in range(0, n, batch_size):
-        exs = [ds[i] for i in range(start, start + batch_size)]
-        pts = jnp.asarray(np.stack([e["points"] for e in exs]))
-        msk = jnp.asarray(np.stack([e["points_mask"] for e in exs]))
+        exs = [ds[i] for i in range(start, min(start + batch_size, n))]
+        pts = jnp.asarray(
+            _pad_batch(np.stack([e["points"] for e in exs]), batch_size))
+        msk = jnp.asarray(
+            _pad_batch(np.stack([e["points_mask"] for e in exs]), batch_size))
         out = predict(pts, msk)
         for bi, ex in enumerate(exs):
             gm = ex["gt_mask"]
@@ -352,6 +390,78 @@ def nuscenes_evaluate(
 
 
 # ---------------------------------------------------------------------------
+# Waymo: L1/L2 AP/APH
+# ---------------------------------------------------------------------------
+
+WAYMO_EVAL_NAMES = ("Vehicle", "Pedestrian", "Cyclist")
+
+
+def waymo_evaluate(
+    model,
+    variables,
+    records: str,
+    batch_size: int = 2,
+    max_frames: int = 0,
+    score_threshold: float = 0.1,
+) -> Dict[str, Dict[str, float]]:
+    """CenterPoint -> Waymo L1/L2 AP/APH (clean-room protocol,
+    ``data/waymo_eval.py``). The device side is the same fused
+    voxelize+forward+decode+NMS program the nuScenes path uses; predictions
+    (9D z-center boxes, zero-velocity for waymo) are converted back to the
+    metric's 7D z-bottom layout. GT comes straight from the converted
+    records (7D boxes + per-box lidar point counts for the L2 rule).
+    Mirrors the reference's route through ``waymo_common.py:358`` without
+    the TF toolkit dependency."""
+    from minddet_tpu.data.waymo import WaymoDetection
+    from minddet_tpu.data.waymo_eval import evaluate_waymo
+
+    ds = WaymoDetection(records, augment=False)
+    n = len(ds)
+    if max_frames:
+        n = min(n, max_frames)
+
+    @jax.jit
+    def predict(points, mask):
+        return model.apply(
+            variables, points, mask, method=model.predict_from_points
+        )
+
+    gt_annos, dt_annos = [], []
+    for start in range(0, n, batch_size):
+        idxs = list(range(start, min(start + batch_size, n)))
+        exs = [ds[i] for i in idxs]
+        pts = jnp.asarray(
+            _pad_batch(np.stack([e["points"] for e in exs]), batch_size))
+        msk = jnp.asarray(
+            _pad_batch(np.stack([e["points_mask"] for e in exs]), batch_size))
+        out = predict(pts, msk)
+        for bi, (i, ex) in enumerate(zip(idxs, exs)):
+            rec = ds.records[i]
+            g = np.asarray(rec["gt_boxes"], np.float64).reshape(-1, 7)
+            gt_annos.append({
+                "boxes": g,
+                "classes": np.asarray(rec["gt_classes"], np.int32),
+                "num_points": np.asarray(
+                    rec.get("num_points_in_gt", np.full(len(g), 100))),
+            })
+            boxes9 = np.asarray(out["boxes"][bi], np.float64)
+            scores = np.asarray(out["scores"][bi], np.float64)
+            labels = np.asarray(out["labels"][bi], np.int64)
+            keep = scores > score_threshold
+            boxes9, scores, labels = boxes9[keep], scores[keep], labels[keep]
+            boxes7 = np.concatenate(
+                [boxes9[:, :2], (boxes9[:, 2] - boxes9[:, 5] / 2)[:, None],
+                 boxes9[:, 3:6], boxes9[:, 8:9]], axis=1,
+            ) if len(boxes9) else np.zeros((0, 7))
+            dt_annos.append({
+                "boxes": boxes7,
+                "classes": labels + 1,  # metric ids are 1-based
+                "scores": scores,
+            })
+    return evaluate_waymo(gt_annos, dt_annos, classes=WAYMO_EVAL_NAMES)
+
+
+# ---------------------------------------------------------------------------
 # Segmentation mIoU
 # ---------------------------------------------------------------------------
 
@@ -359,15 +469,15 @@ def segmentation_evaluate(
     model, variables, records: str, num_classes: int,
     batch_size: int = 8, max_images: int = 0,
 ) -> Dict[str, float]:
-    """Records with (image, mask) pairs -> mIoU via the fused predict."""
-    from minddet_tpu.data.records import RecordDataset
+    """Seg records -> mIoU via the fused predict (images normalized with the
+    same constants the train path uses; ignore_label pixels excluded)."""
+    from minddet_tpu.data.seg import SegDataset
     from minddet_tpu.models.segmentors import miou
 
-    ds = RecordDataset(records)
+    ds = SegDataset(records, augment=False)
     n = len(ds)
     if max_images:
         n = min(n, max_images)
-    n -= n % batch_size
 
     @jax.jit
     def predict(image):
@@ -376,15 +486,15 @@ def segmentation_evaluate(
     inter = np.zeros(num_classes)
     union = np.zeros(num_classes)
     for start in range(0, n, batch_size):
-        recs = [ds[i] for i in range(start, start + batch_size)]
-        images = jnp.asarray(
-            np.stack([r["image"] for r in recs]).astype(np.float32)
-        )
+        recs = [ds[i] for i in range(start, min(start + batch_size, n))]
+        images = jnp.asarray(_pad_batch(
+            np.stack([r["image"] for r in recs]), batch_size))
         target = np.stack([r["mask"] for r in recs])
-        pred = np.asarray(predict(images))
+        valid = np.stack([r["valid"] for r in recs])
+        pred = np.asarray(predict(images))[: len(recs)]
         for c in range(num_classes):
-            inter[c] += np.sum((pred == c) & (target == c))
-            union[c] += np.sum((pred == c) | (target == c))
+            inter[c] += np.sum((pred == c) & (target == c) & valid)
+            union[c] += np.sum(((pred == c) | (target == c)) & valid)
     per_class = inter / np.maximum(union, 1)
     present = union > 0
     stats = {"miou": float(per_class[present].mean()) if present.any() else 0.0}
@@ -400,7 +510,7 @@ def main(argv=None) -> None:
     p.add_argument("--max-images", type=int, default=0)
     p.add_argument("--protocol", default=None,
                    choices=[None, "coco", "centernet", "kitti", "nuscenes",
-                            "miou"],
+                            "waymo", "miou", "segm"],
                    help="override the data-type-derived eval protocol")
     p.add_argument("--options", nargs="*", default=[])
     args = p.parse_args(argv)
@@ -418,16 +528,22 @@ def main(argv=None) -> None:
             protocol = "kitti"
         elif data_type == "nuscenes":
             protocol = "nuscenes"
+        elif data_type == "waymo":
+            protocol = "waymo"
         elif data_type == "seg":
             protocol = "miou"
         elif mcfg.get("type") == "CenterNet":
             protocol = "centernet"
+        elif mcfg.get("type") == "MaskRCNN":
+            protocol = "segm"
         else:
             protocol = "coco"
 
     # init variables with the protocol-appropriate input signature
-    if protocol in ("kitti", "nuscenes"):
-        nf = 5 if protocol == "nuscenes" else 4
+    if protocol in ("kitti", "nuscenes", "waymo"):
+        # kitti x,y,z,r; nuscenes +sweep-time; waymo intensity+elongation
+        nf = int(cfg.data.get("num_features",
+                              4 if protocol == "kitti" else 5))
         pts = jnp.zeros((1, 512, nf))
         variables = model.init(
             jax.random.PRNGKey(0), pts, jnp.ones((1, 512), bool),
@@ -458,6 +574,14 @@ def main(argv=None) -> None:
                 logger.info("%s %s AP: %s", cls, metric,
                             " / ".join(f"{a:.2f}" for a in aps))
         return
+    if protocol == "waymo":
+        table = waymo_evaluate(
+            model, variables, args.records, max_frames=args.max_images,
+        )
+        for cls, ms in table.items():
+            logger.info("%s: %s", cls,
+                        " ".join(f"{k}={v:.2f}" for k, v in ms.items()))
+        return
     if protocol == "nuscenes":
         stats = nuscenes_evaluate(
             model, variables, args.records, max_frames=args.max_images,
@@ -479,7 +603,7 @@ def main(argv=None) -> None:
     else:
         stats = coco_evaluate(
             model, variables, args.records, image_hw, num_classes,
-            max_images=args.max_images,
+            max_images=args.max_images, segm=protocol == "segm",
         )
     for k, v in stats.items():
         logger.info("%s: %.4f", k, v)

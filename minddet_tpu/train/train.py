@@ -44,9 +44,13 @@ import minddet_tpu.models.segmentors  # noqa: F401
 
 
 def synthetic_detection_batches(
-    batch_size: int, image_hw, num_classes: int, max_objs: int = 16, seed: int = 0
+    batch_size: int, image_hw, num_classes: int, max_objs: int = 16, seed: int = 0,
+    with_masks: bool = False, mask_stride: int = 4,
 ) -> Iterator[Dict[str, np.ndarray]]:
-    """Random images + boxes in the uniform 2D-detector batch layout."""
+    """Random images + boxes in the uniform 2D-detector batch layout.
+
+    ``with_masks`` adds ``gt_bitmaps`` (B, H/s, W/s, max_objs) — ellipses
+    inscribed in each box, so an overfit run has a learnable non-box shape."""
     rng = np.random.RandomState(seed)
     h, w = image_hw
     step = 0
@@ -61,13 +65,28 @@ def synthetic_detection_batches(
             wh = rng.uniform([w * 0.05, h * 0.05], [w * 0.3, h * 0.3], (n[i], 2))
             boxes[i, : n[i]] = np.concatenate([xy, xy + wh], -1)
             mask[i, : n[i]] = True
-        yield {
+        out = {
             "image": rng.rand(batch_size, h, w, 3).astype(np.float32),
             "gt_boxes": boxes,
             "gt_classes": classes,
             "gt_mask": mask,
             "step": np.asarray(step, np.int32),
         }
+        if with_masks:
+            s = mask_stride
+            bm = np.zeros((batch_size, h // s, w // s, max_objs), np.float32)
+            yy, xx = np.mgrid[: h // s, : w // s]
+            for i in range(batch_size):
+                for o in range(n[i]):
+                    x1, y1, x2, y2 = boxes[i, o] / s
+                    cx, cy = (x1 + x2) / 2, (y1 + y2) / 2
+                    rx = max((x2 - x1) / 2, 1e-3)
+                    ry = max((y2 - y1) / 2, 1e-3)
+                    bm[i, :, :, o] = (
+                        ((xx - cx) / rx) ** 2 + ((yy - cy) / ry) ** 2 <= 1.0
+                    )
+            out["gt_bitmaps"] = bm
+        yield out
 
 
 def coco_batches(cfg, batch_size: int, image_hw, seed: int = 0, aug: str = "affine"):
@@ -83,13 +102,35 @@ def coco_batches(cfg, batch_size: int, image_hw, seed: int = 0, aug: str = "affi
         mixup,
         mosaic,
         normalize,
+        warp_images,
     )
 
-    ds = CocoDetection(cfg.data.records, max_objs=cfg.data.get("max_objs", 128))
-    sampler = DistributedSampler(
-        len(ds), num_shards=jax.process_count(), shard_id=jax.process_index(),
-        seed=seed,
+    with_masks = bool(cfg.data.get("with_masks", False))
+    mask_stride = int(cfg.data.get("mask_stride", 4))
+    if with_masks and aug == "mosaic":
+        raise ValueError("mask training uses the affine pipeline, not mosaic")
+    ds = CocoDetection(
+        cfg.data.records, max_objs=cfg.data.get("max_objs", 128),
+        with_masks=with_masks, mask_stride=mask_stride,
     )
+    if cfg.data.get("group_by_aspect", False):
+        # aspect-grouped batches (the reference's GroupSampler /
+        # DistributedGroupSampler, det3d_ms/datasets/loader/sampler.py:34-157
+        # + build_loader.py:37,64): every batch is landscape- or
+        # portrait-pure, so the device affine warps a shape-coherent batch
+        from minddet_tpu.data.loader import GroupSampler, aspect_flags
+
+        flags = aspect_flags(
+            [ds.records[i]["hw"] for i in range(len(ds.records))])
+        sampler = GroupSampler(
+            flags, batch_size, num_shards=jax.process_count(),
+            shard_id=jax.process_index(), seed=seed,
+        )
+    else:
+        sampler = DistributedSampler(
+            len(ds), num_shards=jax.process_count(),
+            shard_id=jax.process_index(), seed=seed,
+        )
     loader = DataLoader(ds, batch_size, sampler=sampler,
                         num_workers=cfg.data.get("workers", 4))
     key = jax.random.PRNGKey(seed)
@@ -121,13 +162,26 @@ def coco_batches(cfg, batch_size: int, image_hw, seed: int = 0, aug: str = "affi
                 key_i, jnp.asarray(raw["image"]), jnp.asarray(raw["hw"]),
                 jnp.asarray(raw["boxes"]), tuple(image_hw),
             )
-            yield {
+            batch = {
                 "image": out["image"],
                 "gt_boxes": out["boxes"],
                 "gt_classes": jnp.asarray(raw["labels"]),
                 "gt_mask": jnp.asarray(raw["mask"]),
                 "step": np.asarray(step, np.int32),
             }
+            if with_masks:
+                # GT bitmaps live at 1/mask_stride of both spaces, so the
+                # image affine transfers with its translation scaled down:
+                # x_in/s = A_lin @ (x_out/s) + A_t/s
+                aff = out["affine"]
+                aff_s = jnp.concatenate(
+                    [aff[:, :, :2], aff[:, :, 2:] / mask_stride], axis=2)
+                batch["gt_bitmaps"] = warp_images(
+                    jnp.asarray(raw["bitmaps"]).astype(jnp.float32),
+                    aff_s,
+                    (image_hw[0] // mask_stride, image_hw[1] // mask_stride),
+                )
+            yield batch
         step += 1
 
 
@@ -283,6 +337,107 @@ def nuscenes_batches(cfg, batch_size: int, seed: int = 0):
         yield raw
 
 
+def waymo_batches(cfg, batch_size: int, seed: int = 0):
+    """Waymo pipeline: converted records -> optional GT-AUG paste -> global
+    flip/rot/scale/translate (host); voxelize + CenterPoint target
+    assignment run on device (``CenterPoint.loss_from_gt``). Mirrors the
+    reference route (``det3d_ms/datasets/waymo/waymo.py:7`` through the same
+    Preprocess pipeline the nuScenes recipe uses)."""
+    from minddet_tpu.data.gt_sampler import (
+        DataBaseSampler,
+        build_gt_database,
+        load_database,
+    )
+    from minddet_tpu.data.loader import DataLoader, DistributedSampler
+    from minddet_tpu.data.waymo import WAYMO_CLASSES, WaymoDetection
+
+    dcfg = cfg.data
+    sampler_obj = None
+    scfg = dcfg.get("gt_sampler", None)
+    if scfg:
+        path = scfg.get("database", None)
+        if path and os.path.exists(path):
+            db = load_database(path)
+        else:
+            db = build_gt_database(
+                WaymoDetection(dcfg.records), WAYMO_CLASSES,
+                min_points=dict(scfg.get("min_points", {})) or 5,
+            )
+        sampler_obj = DataBaseSampler(
+            db,
+            {str(k): int(v) for k, v in dict(scfg.get(
+                "max_per_class", {"VEHICLE": 15})).items()},
+            {c: i + 1 for i, c in enumerate(WAYMO_CLASSES)},
+        )
+    ds = WaymoDetection(
+        dcfg.records,
+        max_points=int(dcfg.get("max_points", 160000)),
+        max_gt=int(dcfg.get("max_gt", 200)),
+        augment=bool(dcfg.get("augment", True)),
+        gt_sampler=sampler_obj,
+        seed=seed,
+    )
+    sampler = DistributedSampler(
+        len(ds), num_shards=jax.process_count(), shard_id=jax.process_index(),
+        seed=seed,
+    )
+    loader = DataLoader(ds, batch_size, sampler=sampler,
+                        num_workers=dcfg.get("workers", 4))
+    for step, raw in enumerate(loader):
+        raw.pop("gt_num_points", None)  # eval-protocol field, not a target
+        raw["step"] = np.asarray(step, np.int32)
+        yield raw
+
+
+def synthetic_seg_batches(
+    batch_size: int, image_hw, num_classes: int, seed: int = 0,
+) -> Iterator[Dict[str, np.ndarray]]:
+    """Random images with blocky class-region masks (smoke runs / perf)."""
+    rng = np.random.RandomState(seed)
+    h, w = image_hw
+    step = 0
+    while True:
+        step += 1
+        # coarse 8x8 class grid upsampled -> learnable contiguous regions
+        coarse = rng.randint(0, num_classes, (batch_size, 8, 8))
+        mask = np.repeat(np.repeat(coarse, -(-h // 8), 1), -(-w // 8), 2)
+        mask = mask[:, :h, :w].astype(np.int32)
+        image = rng.rand(batch_size, h, w, 3).astype(np.float32)
+        # paint a class-dependent hue so the mask is recoverable from pixels
+        image += 0.5 * np.stack(
+            [np.cos(mask * 2.1), np.sin(mask * 1.3), np.cos(mask * 0.7)], -1)
+        yield {
+            "image": image.astype(np.float32),
+            "mask": mask,
+            "valid": np.ones((batch_size, h, w), bool),
+            "step": np.asarray(step, np.int32),
+        }
+
+
+def seg_batches(cfg, batch_size: int, seed: int = 0):
+    """Segmentation records -> normalized image + mask + valid batches.
+
+    The host side is the whole pipeline (flip augmentation happens on
+    uint8 images before normalization); the device just consumes fixed
+    shapes. Reference has no segmentation data path to mirror — this fills
+    the README-promised DeepLabV3+/UNet gap."""
+    from minddet_tpu.data.loader import DataLoader, DistributedSampler
+    from minddet_tpu.data.seg import SegDataset
+
+    dcfg = cfg.data
+    ds = SegDataset(dcfg.records, augment=bool(dcfg.get("augment", True)),
+                    seed=seed)
+    sampler = DistributedSampler(
+        len(ds), num_shards=jax.process_count(), shard_id=jax.process_index(),
+        seed=seed,
+    )
+    loader = DataLoader(ds, batch_size, sampler=sampler,
+                        num_workers=dcfg.get("workers", 4))
+    for step, raw in enumerate(loader):
+        raw["step"] = np.asarray(step, np.int32)
+        yield raw
+
+
 def loss_method_for(model) -> Any:
     """Uniform loss entry: prefer ``loss_from_gt`` (CenterNet) else ``loss``."""
     return getattr(model, "loss_from_gt", None) or model.loss
@@ -322,22 +477,34 @@ def main(argv=None) -> None:
     num_classes = int(mcfg.get("num_classes", 80))
     data_type = cfg.data.get("type", "coco") if "data" in cfg else "coco"
     if args.synthetic or "data" not in cfg:
-        if data_type in ("kitti", "nuscenes"):
+        if data_type in ("kitti", "nuscenes", "waymo"):
             pc_range = tuple(mcfg.get("pc_range", (0, -39.68, -3, 69.12, 39.68, 1)))
-            is_nusc = data_type == "nuscenes"
-            if is_nusc:
+            # CenterPoint consumes 9D velocity boxes (waymo pads vel with 0)
+            is_cp = data_type in ("nuscenes", "waymo")
+            if is_cp:
                 num_classes = int(sum(mcfg.get("task_num_classes", (10,))))
             batches = synthetic_points_batches(
                 batch_size, pc_range, num_classes=num_classes,
-                num_features=5 if is_nusc else 4,
-                box_dim=9 if is_nusc else 7,
+                num_features=int(cfg.data.get("num_features", 5 if is_cp else 4))
+                if "data" in cfg else (5 if is_cp else 4),
+                box_dim=9 if is_cp else 7,
             )
+        elif data_type == "seg" or mcfg.get("type") in ("UNet", "DeepLabV3Plus"):
+            batches = synthetic_seg_batches(batch_size, image_hw, num_classes)
         else:
-            batches = synthetic_detection_batches(batch_size, image_hw, num_classes)
+            batches = synthetic_detection_batches(
+                batch_size, image_hw, num_classes,
+                with_masks=bool(getattr(model, "with_mask", False)),
+                mask_stride=int(getattr(model, "mask_stride", 4)),
+            )
     elif data_type == "kitti":
         batches = kitti_batches(cfg, batch_size)
     elif data_type == "nuscenes":
         batches = nuscenes_batches(cfg, batch_size)
+    elif data_type == "waymo":
+        batches = waymo_batches(cfg, batch_size)
+    elif data_type == "seg":
+        batches = seg_batches(cfg, batch_size)
     else:
         batches = coco_batches(
             cfg, batch_size, image_hw, aug=tcfg.get("aug", "affine")

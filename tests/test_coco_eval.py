@@ -146,6 +146,69 @@ def test_segm_mode_area_ranges_from_masks():
 # A protocol off-by-one (interpolation edge, maxDets handling) breaks these.
 # ---------------------------------------------------------------------------
 
+def test_analytic_golden_segm_crowd_area():
+    """Hand-derived golden for the segm x crowd x area interaction:
+
+    GT: G1 = 12x12 mask (area 144, "small"), G2 = 40x40 CROWD mask
+    (area 1600, "medium"). DT: D1 covers exactly G1 (mask IoU 1.0, score .9);
+    D2 = 20x20 mask fully inside the crowd G2 (score .8) — crowd IoU uses
+    the DT area as denominator, so IoU(D2, G2) = 400/400 = 1.0 and D2 is
+    IGNORED (not FP) at every threshold.
+
+    AP_all: only G1 counts (crowd is ignored). Ranked dets after dropping
+    the ignored D2: [TP]. recall 1, precision 1 at all 10 thresholds -> 1.0.
+    AP_small: same (G1 small, D1 matched). AP_medium: only the crowd lives
+    there -> no non-ignored GT -> undefined (-1).
+    """
+    from minddet_tpu.data.coco_eval import COCOEvaluator
+
+    H = W = 100
+    g1 = np.zeros((H, W), bool)
+    g1[10:22, 10:22] = True
+    g2 = np.zeros((H, W), bool)
+    g2[50:90, 50:90] = True
+    d1 = g1.copy()
+    d2 = np.zeros((H, W), bool)
+    d2[60:80, 60:80] = True
+
+    gt_boxes = np.array([[10, 10, 22, 22], [50, 50, 90, 90]], np.float64)
+    dt_boxes = np.array([[10, 10, 22, 22], [60, 60, 80, 80]], np.float64)
+    ev = COCOEvaluator([0])
+    ev.add(0, dt_boxes, np.array([0.9, 0.8]), gt_boxes,
+           gt_iscrowd=np.array([False, True]),
+           dt_masks=np.stack([d1, d2]), gt_masks=np.stack([g1, g2]))
+    stats = ev.summarize()
+    np.testing.assert_allclose(stats["AP"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(stats["AP_small"], 1.0, atol=1e-9)
+    assert stats["AP_medium"] == -1.0
+    np.testing.assert_allclose(stats["AR@100"], 1.0, atol=1e-9)
+    # maxDets=1: only D1 (highest score) survives; it matches G1 -> AR@1 = 1
+    np.testing.assert_allclose(stats["AR@1"], 1.0, atol=1e-9)
+
+
+def test_analytic_golden_segm_partial_iou():
+    """Segm golden with a fractional mask IoU crossing thresholds mid-sweep:
+    D covers 75 of G's 100 pixels plus 0 extra -> IoU = 75/100 = 0.75
+    exactly. With the protocol's min(thr, 1-1e-10) epsilon, the match holds
+    for t in {.5,...,.75} (6 thresholds) and fails above.
+    AP = (6*1 + 4*0)/10 = 0.6 (single GT, single TP det)."""
+    from minddet_tpu.data.coco_eval import COCOEvaluator
+
+    g = np.zeros((50, 50), bool)
+    g[10:20, 10:20] = True          # 100 px
+    d = np.zeros((50, 50), bool)
+    d[10:20, 10:17] = True  # 10x7 = 70 px
+    d[10:15, 17] = True     # +5 -> 75 px, all inside G
+    box = np.array([[10, 10, 20, 20]], np.float64)
+    ev = COCOEvaluator([0])
+    ev.add(0, box, np.array([0.9]), box,
+           dt_masks=d[None], gt_masks=g[None])
+    stats = ev.summarize()
+    np.testing.assert_allclose(stats["AP50"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(stats["AP75"], 1.0, atol=1e-9)
+    np.testing.assert_allclose(stats["AP"], 0.6, atol=1e-9)
+
+
 def test_analytic_golden_ap():
     from minddet_tpu.data.coco_eval import COCOEvaluator
 

@@ -152,6 +152,43 @@ def test_coco_batches_mosaic_path(tmp_path):
     assert _np.asarray(batch["gt_mask"]).sum() > 0
 
 
+def test_coco_batches_group_by_aspect(tmp_path):
+    """GroupSampler wiring: every batch drawn from one aspect group."""
+    import json as _json
+
+    from minddet_tpu.core.config import Config
+    from minddet_tpu.data.coco import convert_coco_to_records
+    from minddet_tpu.train.train import coco_batches
+
+    ann, imgs = _make_coco(tmp_path, n_images=6)
+    # make half the images portrait so both groups exist
+    d = _json.loads((tmp_path / "instances.json").read_text())
+    for img in d["images"][:3]:
+        img["height"], img["width"] = img["width"] + 40, img["height"]
+        import cv2 as _cv2
+        import numpy as _np
+        _cv2.imwrite(str(tmp_path / "images" / img["file_name"]),
+                     (_np.random.RandomState(1).rand(
+                         img["height"], img["width"], 3) * 255).astype("uint8"))
+    (tmp_path / "instances.json").write_text(_json.dumps(d))
+    convert_coco_to_records(ann, imgs, str(tmp_path / "grp"))
+    cfg = Config.fromdict(
+        {"data": {"records": str(tmp_path / "grp-*.arrayrecord"),
+                  "max_objs": 8, "workers": 1, "group_by_aspect": True}}
+    )
+    from minddet_tpu.data.coco import CocoDetection
+    from minddet_tpu.data.loader import aspect_flags
+
+    ds = CocoDetection(str(tmp_path / "grp-*.arrayrecord"))
+    flags = aspect_flags([ds.records[i]["hw"] for i in range(len(ds.records))])
+    assert set(flags) == {0, 1}
+
+    it = iter(coco_batches(cfg, 3, (64, 64)))
+    for _ in range(2):
+        batch = next(it)
+        assert batch["image"].shape == (3, 64, 64, 3)
+
+
 def test_keep_res_bucketing():
     from minddet_tpu.train.evaluate import _keep_res_hw
 

@@ -13,7 +13,9 @@ MindRecord mode):
     python tools/create_data.py waymo    --tfrecords 'segs/*.tfrecord' \
         --out data/waymo/train
     python tools/create_data.py coco     --ann instances_train2017.json \
-        --images train2017/ --out data/coco/train
+        --images train2017/ --out data/coco/train [--with-masks]
+    python tools/create_data.py seg      --images JPEGImages/ \
+        --masks SegmentationClass/ --out data/voc/train --image-hw 513 513
     python tools/create_data.py gt-database --records 'data/kitti/train-*' \
         --classes Car --out data/kitti/gt_db.pkl
 
@@ -56,6 +58,15 @@ def main(argv=None) -> None:
     c.add_argument("--ann", required=True)
     c.add_argument("--images", required=True)
     c.add_argument("--out", required=True)
+    c.add_argument("--with-masks", action="store_true",
+                   help="store polygon/RLE segmentations (Mask R-CNN)")
+
+    s = sub.add_parser("seg", help="(image, mask-png) pairs -> seg records")
+    s.add_argument("--images", required=True)
+    s.add_argument("--masks", required=True)
+    s.add_argument("--out", required=True)
+    s.add_argument("--image-hw", type=int, nargs=2, default=[512, 512])
+    s.add_argument("--ignore-label", type=int, default=255)
 
     g = sub.add_parser("gt-database",
                        help="crop per-object clouds for GT-AUG sampling")
@@ -82,7 +93,13 @@ def main(argv=None) -> None:
             max_points=args.max_points)
     elif args.cmd == "coco":
         from minddet_tpu.data.coco import convert_coco_to_records
-        paths = convert_coco_to_records(args.ann, args.images, args.out)
+        paths = convert_coco_to_records(args.ann, args.images, args.out,
+                                        with_masks=args.with_masks)
+    elif args.cmd == "seg":
+        from minddet_tpu.data.seg import convert_seg_to_records
+        paths = convert_seg_to_records(
+            args.images, args.masks, args.out,
+            image_hw=tuple(args.image_hw), ignore_label=args.ignore_label)
     else:  # gt-database
         from minddet_tpu.data.gt_sampler import build_gt_database, save_database
         from minddet_tpu.data.records import RecordDataset
