@@ -33,14 +33,20 @@ class ConvBlock(nn.Module):
 
 
 class Bottleneck(nn.Module):
+    """(1x1, 3x3) for CSP/C3 blocks; C2f passes (3, 3) — ultralytics v8's
+    C2f bottleneck uses two 3x3 convs (k=((3,3),(3,3))), which checkpoint
+    conversion parity depends on."""
+
     features: int
     shortcut: bool = True
+    kernels: Tuple[int, int] = (1, 3)
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        y = ConvBlock(self.features, 1, dtype=self.dtype, name="c1")(x, train)
-        y = ConvBlock(self.features, 3, dtype=self.dtype, name="c2")(y, train)
+        k1, k2 = self.kernels
+        y = ConvBlock(self.features, k1, dtype=self.dtype, name="c1")(x, train)
+        y = ConvBlock(self.features, k2, dtype=self.dtype, name="c2")(y, train)
         if self.shortcut and x.shape[-1] == self.features:
             y = y + x
         return y
@@ -81,7 +87,8 @@ class C2f(nn.Module):
         parts = [y[..., :h], y[..., h:]]
         for i in range(self.n):
             parts.append(
-                Bottleneck(h, self.shortcut, dtype=self.dtype, name=f"b{i}")(parts[-1], train)
+                Bottleneck(h, self.shortcut, kernels=(3, 3),
+                           dtype=self.dtype, name=f"b{i}")(parts[-1], train)
             )
         return ConvBlock(self.features, 1, dtype=self.dtype, name="out")(
             jnp.concatenate(parts, -1), train

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from minddet_tpu.core.registry import DETECTORS
 from minddet_tpu.models.backbones.csp_darknet import CSPDarknet, ConvBlock
-from minddet_tpu.models.necks.pan import PAN
+from minddet_tpu.models.necks.pan import C2fPAN
 from minddet_tpu.models.detectors.yolox import _bce, yolo_grid
 from minddet_tpu.ops.box import elementwise_iou, pairwise_iou
 from minddet_tpu.ops.nms import batched_nms
@@ -25,24 +25,31 @@ REG_MAX = 16  # DFL bins per side
 
 
 class YOLOv8Head(nn.Module):
+    """Decoupled DFL head with ultralytics' branch widths: the reg branch
+    runs at ``max(16, P3_width/4, 4*REG_MAX)`` and the cls branch at
+    ``max(P3_width, min(nc, 100))`` (ultralytics ``Detect.__init__`` c2/c3)
+    — checkpoint conversion parity depends on these exact widths."""
+
     num_classes: int = 80
-    width: int = 128
+    width: int = 128  # P3 channel count
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feats: Sequence[jnp.ndarray], train: bool = False):
         """-> dfl logits (B, A, 4, REG_MAX), cls logits (B, A, C)."""
+        w_reg = max(16, self.width // 4, 4 * REG_MAX)
+        w_cls = max(self.width, min(self.num_classes, 100))
         dfls, clss = [], []
         for i, f in enumerate(feats):
             b = f.shape[0]
-            r = ConvBlock(self.width, 3, dtype=self.dtype, name=f"reg{i}_0")(f, train)
-            r = ConvBlock(self.width, 3, dtype=self.dtype, name=f"reg{i}_1")(r, train)
+            r = ConvBlock(w_reg, 3, dtype=self.dtype, name=f"reg{i}_0")(f, train)
+            r = ConvBlock(w_reg, 3, dtype=self.dtype, name=f"reg{i}_1")(r, train)
             dfls.append(
                 nn.Conv(4 * REG_MAX, (1, 1), dtype=self.dtype, name=f"reg_out{i}")(r)
                 .reshape(b, -1, 4, REG_MAX)
             )
-            c = ConvBlock(self.width, 3, dtype=self.dtype, name=f"cls{i}_0")(f, train)
-            c = ConvBlock(self.width, 3, dtype=self.dtype, name=f"cls{i}_1")(c, train)
+            c = ConvBlock(w_cls, 3, dtype=self.dtype, name=f"cls{i}_0")(f, train)
+            c = ConvBlock(w_cls, 3, dtype=self.dtype, name=f"cls{i}_1")(c, train)
             clss.append(
                 nn.Conv(self.num_classes, (1, 1), dtype=self.dtype,
                         bias_init=nn.initializers.constant(-4.59),
@@ -118,7 +125,7 @@ class YOLOv8(nn.Module):
             use_c2f=True, dtype=self.dtype,
         )
         w = max(16, int(256 * self.width_mult // 8 * 8))
-        self.neck = PAN(
+        self.neck = C2fPAN(
             out_channels=(w, w * 2, w * 4),
             depth=max(1, round(3 * self.depth_mult)), dtype=self.dtype,
         )
