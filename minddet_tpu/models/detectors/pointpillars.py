@@ -147,11 +147,48 @@ class PointPillars(nn.Module):
         canvas = self.scatter(pillars, coords)  # (B, ny, nx, C)
         x = self.rpn(canvas, train=train)  # (B, ny/2, nx/2, 384)
 
-        box = self.conv_box(x).reshape(b, -1, self.box_code_size)
-        cls = self.conv_cls(x).reshape(b, -1, self.num_classes)
-        out = {"box_preds": box.astype(jnp.float32), "cls_preds": cls.astype(jnp.float32)}
+        if self.is_initializing():
+            # init path: call the real submodules so params materialize under
+            # their own scopes (conv_cls/conv_box/conv_dir — the names the
+            # checkpoint rename tables target, utils/convert.py)
+            box = self.conv_box(x).reshape(b, -1, self.box_code_size)
+            cls = self.conv_cls(x).reshape(b, -1, self.num_classes)
+            out = {"box_preds": box.astype(jnp.float32),
+                   "cls_preds": cls.astype(jnp.float32)}
+            if self.use_direction_classifier:
+                out["dir_preds"] = self.conv_dir(x).reshape(b, -1, 2).astype(jnp.float32)
+            return out
+        # PERF: one fused 1x1 conv over the 384-channel canvas instead of
+        # three — the heads are HBM-bound, and three separate convs read the
+        # (B, ny/2, nx/2, 384) activation three times in forward AND three
+        # times in each backward pass (round-3 xplane trace: conv_box alone
+        # 2.3 ms/step). Kernels are concatenated at trace time from the
+        # unchanged per-head parameters, so checkpoints are unaffected.
+        a = self.num_anchor_per_loc
+        heads = [self.conv_cls, self.conv_box]
+        widths = [a * self.num_classes, a * self.box_code_size]
         if self.use_direction_classifier:
-            out["dir_preds"] = self.conv_dir(x).reshape(b, -1, 2).astype(jnp.float32)
+            heads.append(self.conv_dir)
+            widths.append(a * 2)
+        k = jnp.concatenate(
+            [h.variables["params"]["kernel"] for h in heads], axis=-1
+        ).astype(self.dtype)
+        bias = jnp.concatenate(
+            [h.variables["params"]["bias"] for h in heads]
+        ).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        ) + bias
+        c0 = widths[0]
+        cls = y[..., :c0].reshape(b, -1, self.num_classes)
+        box = y[..., c0 : c0 + widths[1]].reshape(b, -1, self.box_code_size)
+        out = {"box_preds": box.astype(jnp.float32),
+               "cls_preds": cls.astype(jnp.float32)}
+        if self.use_direction_classifier:
+            out["dir_preds"] = (
+                y[..., c0 + widths[1] :].reshape(b, -1, 2).astype(jnp.float32)
+            )
         return out
 
     def anchor_layout(self):

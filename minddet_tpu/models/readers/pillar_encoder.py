@@ -40,19 +40,29 @@ class MaskedBatchNorm(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,))
 
         if train:
-            m = mask.astype(jnp.float32)[..., None]
-            denom = jnp.maximum(jnp.sum(m), 1.0)
-            xf = x.astype(jnp.float32)
-            mean = jnp.sum(xf * m, axis=tuple(range(x.ndim - 1))) / denom
-            var = jnp.sum(((xf - mean) ** 2) * m, axis=tuple(range(x.ndim - 1))) / denom
+            # Single pass, f32 ACCUMULATION only: sum(x), sum(x^2) with a
+            # float32 reduction dtype — never materializing an f32 copy of
+            # the (B, V, P, C) tensor. The two-pass (x - mean)^2 formulation
+            # read the canvas-sized activation twice in f32 and was the
+            # HBM wall the round-2 xplane trace blamed (STATUS.md gap #3).
+            m = mask[..., None].astype(x.dtype)
+            red = tuple(range(x.ndim - 1))
+            denom = jnp.maximum(
+                jnp.sum(mask, dtype=jnp.float32), 1.0)
+            xm = x * m
+            mean = jnp.sum(xm, axis=red, dtype=jnp.float32) / denom
+            sq = jnp.sum(xm * xm, axis=red, dtype=jnp.float32) / denom
+            var = jnp.maximum(sq - mean * mean, 0.0)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
         else:
             mean, var = ra_mean.value, ra_var.value
-        y = (x.astype(jnp.float32) - mean) / jnp.sqrt(var + self.epsilon)
-        y = y * scale + bias
-        return y.astype(x.dtype)
+        # fold (mean, var, scale, bias) into one fused multiply-add in the
+        # compute dtype: y = x * a + b
+        a = (scale / jnp.sqrt(var + self.epsilon)).astype(x.dtype)
+        b = (bias - mean * scale / jnp.sqrt(var + self.epsilon)).astype(x.dtype)
+        return x * a + b
 
 
 class PFNLayer(nn.Module):
