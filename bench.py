@@ -12,28 +12,45 @@ Metrics (BASELINE.md / VERDICT r1 #6):
   - HEADLINE: CenterNet train throughput vs 74 img/s/chip
     (590 img/s on 8x Ascend 910, minddet/models/centernet/README.md:443-444)
 
-Each secondary metric is fail-isolated: an exception is reported on stderr
-and the remaining metrics (incl. the headline) still print.
+Budget design (VERDICT r2 item 1): every bench runs in its OWN subprocess
+with its own wall-clock cap, so one overrun can never starve the rest. The
+headline runs first with the largest slice; secondaries run cheapest-first.
+A repo-local persistent compile cache (.jax_cache, committed) makes the
+driver's run start warm — cold single-core compiles of the zoo models take
+minutes each.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
-import traceback
 
-import jax
+_REPO = os.path.dirname(os.path.abspath(__file__))
+_CACHE_CANDIDATES = (
+    os.path.join(_REPO, ".jax_cache"),
+    os.path.expanduser("~/.cache/jax_comp"),
+)
 
-# persistent compile cache: the zoo models take minutes each to compile on
-# this single-core host; warm runs then start in seconds
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_comp"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-import jax.numpy as jnp
-import numpy as np
+def _setup_cache() -> None:
+    import jax
+
+    for cand in _CACHE_CANDIDATES:
+        try:
+            os.makedirs(cand, exist_ok=True)
+            probe = os.path.join(cand, ".probe")
+            with open(probe, "w") as f:
+                f.write("ok")
+            os.remove(probe)
+        except OSError:
+            continue
+        jax.config.update("jax_compilation_cache_dir", cand)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        return
+
 
 BASELINE_IMG_PER_SEC_PER_CHIP = 74.0
 BASELINE_PP_SAMPLES_PER_SEC = 24.5
@@ -43,10 +60,16 @@ BASELINE_DECODE_NMS_MS = 4.8  # reference best case per task head
 def _sync(x) -> float:
     """Pull a scalar to host: under the axon tunnel block_until_ready can
     return before execution finishes, a host read cannot."""
+    import jax.numpy as jnp
+
     return float(jnp.asarray(x).reshape(-1)[0])
 
 
 def bench_centernet_train() -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from minddet_tpu.core.optim import adamw
     from minddet_tpu.models.detectors.centernet import CenterNet
     from minddet_tpu.ops.targets import centernet_targets_batch
@@ -111,6 +134,9 @@ def bench_centernet_train() -> dict:
 def bench_pointpillars_train() -> dict:
     """Full production KITTI scale: 496x432 grid, 18k points, 214k anchors,
     the fused loss_from_gt path (device voxelize + anchor mask + assign)."""
+    import jax
+    import jax.numpy as jnp
+
     from minddet_tpu.core.optim import adamw
     from minddet_tpu.models.detectors.pointpillars import PointPillars
     from minddet_tpu.train.loop import TrainState, make_train_step
@@ -121,6 +147,7 @@ def bench_pointpillars_train() -> dict:
     model = PointPillars(num_classes=1, dtype=jnp.bfloat16)
     batch = next(synthetic_points_batches(BATCH, pcr, num_points=18000,
                                           max_gt=24))
+    batch.pop("step", None)
     batch = {k: jnp.asarray(v) for k, v in batch.items()}
     variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
                            method=model.loss_from_gt)
@@ -158,6 +185,10 @@ def bench_decode_nms_p50() -> dict:
     iterations are chained inside ONE jit (each on a perturbed heatmap) and
     the wall time is divided — the standard amortized device-latency
     measurement."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from minddet_tpu.ops.nms import rotated_nms
 
     H = W = 128
@@ -209,12 +240,14 @@ def bench_decode_nms_p50() -> dict:
 
 
 def _bench_infer(model, variables, image, steps=30):
-    """bs=1 inference throughput with async dispatch: the axon tunnel costs
-    ~40-60 ms per dispatch+host-read round trip, so a per-call sync would
-    measure the tunnel, not the chip. Dispatching all steps back-to-back and
-    syncing once keeps the device queue full (standard JAX throughput
-    measurement; per-image device latency is what bench_decode_nms_p50
-    reports for the postprocess stage)."""
+    """bs=1 PIPELINED inference throughput (not per-call latency): all steps
+    are dispatched back-to-back and synced once, keeping the device queue
+    full — the axon tunnel costs ~40-60 ms per dispatch+host-read round trip
+    so a per-call sync would measure the tunnel, not the chip. Per-image
+    device latency for the postprocess stage is what bench_decode_nms_p50
+    reports."""
+    import jax
+
     @jax.jit
     def predict(img):
         return model.apply(variables, img, method=model.predict)
@@ -228,6 +261,10 @@ def _bench_infer(model, variables, image, steps=30):
 
 
 def bench_yolov8s_infer() -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from minddet_tpu.models.detectors.yolov8 import YOLOv8
 
     model = YOLOv8(num_classes=80, image_hw=(640, 640), dtype=jnp.bfloat16)
@@ -238,13 +275,17 @@ def bench_yolov8s_infer() -> dict:
     return {
         "metric": "yolov8s_infer_img_per_sec_bs1",
         "value": round(ips, 2),
-        "unit": "img/s (bs=1, 640x640, bf16, fused predict incl. NMS; "
-                "no published reference number)",
+        "unit": "img/s (bs=1, 640x640, bf16, PIPELINED throughput incl. "
+                "fused NMS; no published reference number)",
         "vs_baseline": None,
     }
 
 
 def bench_faster_rcnn_infer() -> dict:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from minddet_tpu.models.detectors.faster_rcnn import FasterRCNN
 
     model = FasterRCNN(num_classes=80, depth=50, image_hw=(512, 512),
@@ -257,45 +298,118 @@ def bench_faster_rcnn_infer() -> dict:
     return {
         "metric": "faster_rcnn_r50_infer_img_per_sec_bs1",
         "value": round(ips, 2),
-        "unit": "img/s (bs=1, 512x512, bf16, fused predict incl. RPN/ROI/"
-                "NMS; no published reference number)",
+        "unit": "img/s (bs=1, 512x512, bf16, PIPELINED throughput incl. "
+                "RPN/ROI/NMS; no published reference number)",
         "vs_baseline": None,
     }
 
 
+# name -> (fn, cold-cache wall estimate s, warm-cache estimate s)
+_HEADLINE = "centernet_train"
+_BENCHES = {
+    "centernet_train": (bench_centernet_train, 330, 90),
+    "decode_nms": (bench_decode_nms_p50, 90, 40),
+    "pointpillars_train": (bench_pointpillars_train, 210, 70),
+    "yolov8s_infer": (bench_yolov8s_infer, 300, 60),
+    "faster_rcnn_infer": (bench_faster_rcnn_infer, 300, 60),
+}
+# secondaries cheapest-first so a tight budget lands the most lines
+_SECONDARY_ORDER = ("decode_nms", "pointpillars_train", "yolov8s_infer",
+                    "faster_rcnn_infer")
+
+
+def _run_one(name: str) -> None:
+    """Child mode: run a single bench and print its JSON line."""
+    _setup_cache()
+    fn = _BENCHES[name][0]
+    print(json.dumps(fn()), flush=True)
+
+
+def _spawn(name: str, timeout_s: float):
+    """Run one bench in a subprocess; return its JSON line or None."""
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--one", name],
+            capture_output=True, text=True, timeout=timeout_s, cwd=_REPO,
+        )
+    except subprocess.TimeoutExpired:
+        print(f"bench {name} exceeded its {timeout_s:.0f}s slice, killed",
+              file=sys.stderr, flush=True)
+        return None
+    if proc.returncode != 0:
+        print(f"bench {name} failed (rc={proc.returncode}):\n"
+              f"{proc.stderr[-2000:]}", file=sys.stderr, flush=True)
+        return None
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            json.loads(line)
+            return line
+        except json.JSONDecodeError:
+            continue
+    print(f"bench {name} printed no JSON line", file=sys.stderr, flush=True)
+    return None
+
+
 def main() -> None:
-    """Headline is computed FIRST but printed LAST (single-line consumers
-    read the last line). A SIGTERM/SIGINT handler and a wall-clock budget on
-    the secondary metrics guarantee the headline line is emitted even when an
-    external `timeout` kills the run mid-secondary (single-core compile of
-    the zoo models can take minutes each)."""
+    """Parent orchestration. The headline gets the largest slice first; each
+    secondary gets its own cap so one overrun can't starve the rest. On
+    SIGTERM/SIGINT any completed lines flush with the headline LAST, plus a
+    'bench_incomplete' marker line so consumers can tell a killed run from a
+    complete one (ADVICE r2)."""
     import signal
 
     start = time.monotonic()
     budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
-    headline = bench_centernet_train()
-    headline_line = json.dumps(headline)
+    warm = os.path.isdir(os.path.join(_REPO, ".jax_cache")) and any(
+        f != ".probe" for f in os.listdir(os.path.join(_REPO, ".jax_cache")))
+    est_idx = 2 if warm else 1
 
-    def _emit_and_exit(signum, frame):
-        print(headline_line, flush=True)
-        os._exit(0)
+    done: dict = {}
 
-    signal.signal(signal.SIGTERM, _emit_and_exit)
-    signal.signal(signal.SIGINT, _emit_and_exit)
+    def _flush_and_exit(signum=None, frame=None):
+        missing = [n for n in _BENCHES if n not in done]
+        if missing:
+            print(json.dumps({
+                "metric": "bench_incomplete", "value": len(missing),
+                "unit": f"benches not run: {','.join(missing)}",
+                "vs_baseline": None,
+            }), flush=True)
+        for n in _SECONDARY_ORDER:
+            if n in done:
+                print(done[n], flush=True)
+        if _HEADLINE in done:
+            print(done[_HEADLINE], flush=True)
+        os._exit(0 if _HEADLINE in done else 1)
 
-    for fn in (bench_pointpillars_train, bench_decode_nms_p50,
-               bench_yolov8s_infer, bench_faster_rcnn_infer):
-        if time.monotonic() - start > budget:
-            print(f"bench budget exhausted, skipping {fn.__name__}",
-                  file=sys.stderr)
+    signal.signal(signal.SIGTERM, _flush_and_exit)
+    signal.signal(signal.SIGINT, _flush_and_exit)
+
+    def remaining():
+        return budget - (time.monotonic() - start)
+
+    # headline first: largest slice, but leave room for one cheap secondary
+    hl_cap = max(120.0, remaining() - 60.0)
+    line = _spawn(_HEADLINE, min(hl_cap, remaining()))
+    if line:
+        done[_HEADLINE] = line
+
+    for name in _SECONDARY_ORDER:
+        fn, est_cold, est_warm = _BENCHES[name]
+        est = (est_cold, est_warm)[est_idx - 1]
+        cap = min(est * 2.5, remaining() - 5.0)
+        if cap < est * 0.8:
+            print(f"bench budget low ({remaining():.0f}s left), skipping "
+                  f"{name}", file=sys.stderr, flush=True)
             continue
-        try:
-            print(json.dumps(fn()), flush=True)
-        except Exception:
-            print(f"bench {fn.__name__} failed:", file=sys.stderr)
-            traceback.print_exc()
-    print(headline_line, flush=True)
+        line = _spawn(name, cap)
+        if line:
+            done[name] = line
+
+    _flush_and_exit()
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        _run_one(sys.argv[2])
+    else:
+        main()
