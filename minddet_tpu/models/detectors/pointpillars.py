@@ -38,7 +38,11 @@ from minddet_tpu.ops.anchors import (
 )
 from minddet_tpu.ops.box import limit_period, rbbox_to_near_bbox, second_box_decode
 from minddet_tpu.ops.nms import rotated_nms
-from minddet_tpu.ops.voxelize import decorate_pillar_features, voxelize_batch
+from minddet_tpu.ops.voxelize import (
+    decorate_pillar_features,
+    voxelize_batch,
+    voxelize_stream_batch,
+)
 
 
 def add_sin_difference(preds: jnp.ndarray, targets: jnp.ndarray):
@@ -139,12 +143,45 @@ class PointPillars(nn.Module):
         train: bool = False,
     ) -> Dict[str, jnp.ndarray]:
         """Raw voxels (B, V, P, 4) -> flat per-anchor predictions."""
-        b = voxels.shape[0]
         feats = decorate_pillar_features(
             voxels, num_points, coords, self.voxel_size, self.pc_range
         )
         pillars = self.reader(feats, num_points, train=train)  # (B, V, C)
         canvas = self.scatter(pillars, coords)  # (B, ny, nx, C)
+        return self._preds_from_canvas(canvas, train)
+
+    def _canvas_from_points(self, points, points_mask, train: bool):
+        """Stream path: sorted point stream -> PFN -> ONE canvas scatter.
+
+        Skips the padded (V, P, F) voxels tensor and its scatter entirely
+        (round-3 trace: ~46 ns/row, 3.4 ms/step at KITTI scale) and runs the
+        PFN on the ~N real points instead of V*P mostly-padded rows. Returns
+        (canvas, occupancy) — occupancy rides as an extra scattered channel
+        so the anchor-area mask needs no second scatter."""
+        sv = voxelize_stream_batch(
+            points, points_mask, tuple(self.voxel_size), tuple(self.pc_range),
+            self.max_voxels, self.max_points_per_voxel,
+        )
+        h = self.reader.stream(sv.feats, sv.keep, sv.first, train=train)
+        ones = jnp.ones(h.shape[:2] + (1,), h.dtype)
+        rows = jnp.concatenate([h, ones], axis=-1)  # (B, N, C+1)
+
+        def scatter_one(rows_i, idx_i):
+            flat = jnp.zeros(
+                (self.grid_ny * self.grid_nx + 1, rows_i.shape[-1]),
+                rows_i.dtype,
+            )
+            # idx is OOB everywhere but each group's last row -> duplicates
+            # exist only among dropped updates (the voxelize invariant)
+            return flat.at[idx_i].set(rows_i, mode="drop",
+                                      unique_indices=True)[:-1]
+
+        flat = jax.vmap(scatter_one)(rows, sv.canvas_idx)
+        full = flat.reshape(rows.shape[0], self.grid_ny, self.grid_nx, -1)
+        return full[..., :-1], full[..., -1].astype(jnp.float32)
+
+    def _preds_from_canvas(self, canvas, train: bool):
+        b = canvas.shape[0]
         x = self.rpn(canvas, train=train)  # (B, ny/2, nx/2, 384)
 
         if self.is_initializing():
@@ -228,10 +265,6 @@ class PointPillars(nn.Module):
         batch: points (B, N, 4) padded, points_mask (B, N), gt_boxes
         (B, G, 7), gt_classes (B, G) 1-based, gt_mask (B, G).
         """
-        vox = voxelize_batch(
-            batch["points"], batch["points_mask"], tuple(self.voxel_size),
-            tuple(self.pc_range), self.max_voxels, self.max_points_per_voxel,
-        )
         gen = self.anchor_set()
         anchors = gen["anchors"]
         # regular-grid fast path: strided box-filters instead of the
@@ -242,8 +275,18 @@ class PointPillars(nn.Module):
             feature_size, configs, self.anchor_area_threshold,
         )
         if grid_fn is not None:
-            amask = jax.vmap(grid_fn)(vox.coords)
-        else:
+            # stream path: no padded voxels tensor; occupancy comes out of
+            # the canvas scatter itself
+            canvas, occ = self._canvas_from_points(
+                batch["points"], batch["points_mask"], train)
+            amask = jax.vmap(grid_fn.from_occ)(occ)
+            preds = self._preds_from_canvas(canvas, train)
+        else:  # irregular anchor layout: legacy dense path (needs coords)
+            vox = voxelize_batch(
+                batch["points"], batch["points_mask"], tuple(self.voxel_size),
+                tuple(self.pc_range), self.max_voxels,
+                self.max_points_per_voxel,
+            )
             anchors_bv = rbbox_to_near_bbox(anchors[:, [0, 1, 3, 4, 6]])
             amask = jax.vmap(
                 lambda c: anchors_bev_area_mask(
@@ -252,22 +295,14 @@ class PointPillars(nn.Module):
                     self.anchor_area_threshold,
                 )
             )(vox.coords)
+            preds = self(vox.voxels, vox.num_points, vox.coords, train=train)
         t = assign_targets_batch(
             anchors, batch["gt_boxes"], batch["gt_classes"],
             batch["gt_mask"], gen["matched_threshold"],
             gen["unmatched_threshold"], amask,
         )
-        return self.loss(
-            {
-                "voxels": vox.voxels,
-                "num_points": vox.num_points,
-                "coords": vox.coords,
-                "anchors": anchors,
-                "labels": t["labels"],
-                "reg_targets": t["bbox_targets"],
-            },
-            train=train,
-        )
+        return self._loss_from_preds(
+            preds, anchors, t["labels"], t["bbox_targets"])
 
     def loss(
         self, batch: Dict[str, jnp.ndarray], train: bool = True
@@ -276,10 +311,14 @@ class PointPillars(nn.Module):
         reg_targets (B, A, 7). Targets come from ``ops.anchors.assign_targets``
         (device) or the offline pipeline."""
         preds = self(batch["voxels"], batch["num_points"], batch["coords"], train=train)
-        labels = batch["labels"]
-        reg_targets = batch["reg_targets"]
+        return self._loss_from_preds(
+            preds, batch["anchors"], batch["labels"], batch["reg_targets"])
+
+    def _loss_from_preds(
+        self, preds, anchors_static, labels, reg_targets
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         anchors = jnp.broadcast_to(
-            batch["anchors"][None], (labels.shape[0],) + batch["anchors"].shape
+            anchors_static[None], (labels.shape[0],) + anchors_static.shape
         )
         batch_size = labels.shape[0]
 
@@ -330,6 +369,15 @@ class PointPillars(nn.Module):
         pointpillars.py:767-791, nms config car_xyres16.yaml:104-108).
         """
         preds = self(voxels, num_points, coords, train=False)
+        return self._predict_from_preds(
+            preds, anchors, anchors_mask, score_threshold, nms_pre,
+            nms_post, nms_iou,
+        )
+
+    def _predict_from_preds(
+        self, preds, anchors, anchors_mask, score_threshold, nms_pre,
+        nms_post, nms_iou,
+    ) -> Dict[str, jnp.ndarray]:
         scores_all = jax.nn.sigmoid(preds["cls_preds"])  # (B, A, C)
         nms_pre = min(nms_pre, scores_all.shape[1])
         nms_post = min(nms_post, nms_pre)
@@ -377,27 +425,32 @@ class PointPillars(nn.Module):
         """Raw padded points -> detections: the whole inference program
         (voxelize + PFN + RPN + decode + rotated NMS) as ONE device function,
         using the module's own anchor spec and BEV-occupancy anchor mask."""
-        vox = voxelize_batch(
-            points, points_mask, tuple(self.voxel_size), tuple(self.pc_range),
-            self.max_voxels, self.max_points_per_voxel,
-        )
         gen = self.anchor_set()
         feature_size, configs = self.anchor_layout()
         grid_fn = make_grid_area_mask(
             (self.grid_ny, self.grid_nx), self.voxel_size, self.pc_range,
             feature_size, configs, self.anchor_area_threshold,
         )
-        if grid_fn is not None:
-            amask = jax.vmap(grid_fn)(vox.coords)
-        else:
-            anchors_bv = rbbox_to_near_bbox(gen["anchors"][:, [0, 1, 3, 4, 6]])
-            amask = jax.vmap(
-                lambda c: anchors_bev_area_mask(
-                    c, anchors_bv, (self.grid_ny, self.grid_nx),
-                    self.voxel_size, self.pc_range,
-                    self.anchor_area_threshold,
-                )
-            )(vox.coords)
+        if grid_fn is not None:  # stream path (see _canvas_from_points)
+            canvas, occ = self._canvas_from_points(points, points_mask, False)
+            amask = jax.vmap(grid_fn.from_occ)(occ)
+            preds = self._preds_from_canvas(canvas, False)
+            return self._predict_from_preds(
+                preds, gen["anchors"], amask, score_threshold, nms_pre,
+                nms_post, nms_iou,
+            )
+        vox = voxelize_batch(
+            points, points_mask, tuple(self.voxel_size), tuple(self.pc_range),
+            self.max_voxels, self.max_points_per_voxel,
+        )
+        anchors_bv = rbbox_to_near_bbox(gen["anchors"][:, [0, 1, 3, 4, 6]])
+        amask = jax.vmap(
+            lambda c: anchors_bev_area_mask(
+                c, anchors_bv, (self.grid_ny, self.grid_nx),
+                self.voxel_size, self.pc_range,
+                self.anchor_area_threshold,
+            )
+        )(vox.coords)
         return self.predict(
             vox.voxels, vox.num_points, vox.coords, gen["anchors"], amask,
             score_threshold, nms_pre, nms_post, nms_iou,

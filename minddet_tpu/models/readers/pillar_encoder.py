@@ -77,24 +77,67 @@ class PFNLayer(nn.Module):
     masked_bn: bool = True
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, point_mask, train: bool = False):
-        units = self.out_features if self.last_layer else self.out_features // 2
-        x = nn.Dense(units, use_bias=False, dtype=self.dtype, name="linear")(x)
+    @property
+    def units(self):
+        return self.out_features if self.last_layer else self.out_features // 2
+
+    def setup(self):
+        self.linear = nn.Dense(self.units, use_bias=False, dtype=self.dtype)
         if self.masked_bn:
-            x = MaskedBatchNorm(dtype=self.dtype, name="norm")(x, point_mask, train=train)
+            self.norm = MaskedBatchNorm(dtype=self.dtype)
         else:
-            x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.99, epsilon=1e-3,
-                dtype=self.dtype, name="norm",
-            )(x)
+            self.norm = nn.BatchNorm(momentum=0.99, epsilon=1e-3,
+                                     dtype=self.dtype)
+
+    def _dense_bn_relu(self, x, valid, train):
+        x = self.linear(x)
+        if self.masked_bn:
+            x = self.norm(x, valid, train=train)
+        else:
+            x = self.norm(x, use_running_average=not train)
         x = nn.relu(x)
-        x = x * point_mask[..., None].astype(x.dtype)
+        return x * valid[..., None].astype(x.dtype)
+
+    def __call__(self, x, point_mask, train: bool = False):
+        x = self._dense_bn_relu(x, point_mask, train)
         x_max = jnp.max(x, axis=2, keepdims=True)  # (B, V, 1, U)
         if self.last_layer:
             return x_max
-        rep = jnp.broadcast_to(x_max, x.shape[:2] + (x.shape[2], units))
+        rep = jnp.broadcast_to(
+            x_max, x.shape[:2] + (x.shape[2], self.units))
         return jnp.concatenate([x, rep], axis=-1)
+
+    def stream(self, x, keep, first, train: bool = False):
+        """Sorted point stream (B, N, Cin) + keep/segment-head flags ->
+        per-point running features; at each segment's LAST row the value is
+        the pillar feature (same math as the padded path: the BN statistics
+        cover exactly the kept points, the max covers the same set)."""
+        from minddet_tpu.ops.voxelize import seg_running_max
+
+        x = self._dense_bn_relu(x, keep, train)
+        m = seg_running_max(first, x, axis=1)
+        if self.last_layer:
+            return m
+        # non-last layers concat each pillar's FULL max back to every point:
+        # broadcast the segment-end value backward (two flips + a fill scan)
+        ends = jnp.concatenate(
+            [first[:, 1:], jnp.ones_like(first[:, :1])], axis=1)
+        fl = jnp.broadcast_to(ends[..., None], m.shape)
+        filled = _ffill_scan(jnp.flip(fl, 1), jnp.flip(m, 1))
+        full = jnp.flip(filled, 1)
+        return jnp.concatenate([x, full], axis=-1)
+
+
+def _ffill_scan(flags, vals):
+    import jax
+
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va)
+
+    _, out = jax.lax.associative_scan(comb, (flags, vals), axis=1)
+    return out
 
 
 @READERS.register_module()
@@ -110,20 +153,35 @@ class PillarFeatureNet(nn.Module):
     masked_bn: bool = True
     dtype: Any = jnp.float32
 
-    @nn.compact
+    def setup(self):
+        self.layers = [
+            PFNLayer(
+                nf, last_layer=i == len(self.num_filters) - 1,
+                masked_bn=self.masked_bn, dtype=self.dtype, name=f"pfn{i}",
+            )
+            for i, nf in enumerate(self.num_filters)
+        ]
+
     def __call__(self, features, num_points, train: bool = False):
         b, v, p, _ = features.shape
         point_mask = (
             jnp.arange(p)[None, None, :] < num_points[..., None]
         )
         x = features.astype(self.dtype)
-        for i, nf in enumerate(self.num_filters):
-            last = i == len(self.num_filters) - 1
-            x = PFNLayer(
-                nf, last_layer=last, masked_bn=self.masked_bn,
-                dtype=self.dtype, name=f"pfn{i}",
-            )(x, point_mask, train=train)
+        for layer in self.layers:
+            x = layer(x, point_mask, train=train)
         return x.squeeze(axis=2)  # (B, V, C)
+
+    def stream(self, feats, keep, first, train: bool = False):
+        """Decorated point stream (B, N, Cin) -> running pillar features
+        (B, N, C); consumers scatter the segment-END rows (StreamVoxels.
+        canvas_idx) onto the canvas. Requires masked_bn (the padded path's
+        plain BN would see a different zero population)."""
+        assert self.masked_bn, "stream PFN requires masked batch norm"
+        x = feats.astype(self.dtype)
+        for layer in self.layers:
+            x = layer.stream(x, keep, first, train=train)
+        return x
 
 
 @READERS.register_module()
@@ -148,12 +206,13 @@ class PointPillarsScatter(nn.Module):
         gx = jnp.where(valid, gx, self.nx)
         canvas = jnp.zeros((b, self.ny, self.nx, c), pillar_features.dtype)
         bidx = jnp.broadcast_to(jnp.arange(b)[:, None], (b, v))
-        # `voxelize` emits slots ordered by linear cell index with one pillar
-        # per cell, so the scatter is sorted and conflict-free — the hints let
-        # XLA skip the packed compare-exchange lowering it otherwise uses for
-        # last-write-wins semantics (was ~15 ms/step at KITTI scale)
+        # One pillar per cell -> unique indices (duplicates only among the
+        # dropped OOB rows), which spares XLA the packed compare-exchange
+        # lowering for last-write-wins (~15 ms/step at KITTI scale).
+        # NOTE: `voxelize` orders slots by FIRST APPEARANCE (round 3, the
+        # reference's overflow contract), so the cell indices are NOT sorted
+        # anymore — the sorted hint would be undefined behavior.
         canvas = canvas.at[bidx, gy, gx].set(
-            pillar_features, mode="drop", indices_are_sorted=True,
-            unique_indices=True,
+            pillar_features, mode="drop", unique_indices=True,
         )
         return canvas

@@ -192,13 +192,11 @@ def make_grid_area_mask(
     pad_b = max(0, max(c[4] + c[2] + (fny - 1) * c[0] - ny for c in combos))
     pad_r = max(0, max(c[5] + c[3] + (fnx - 1) * c[1] - nx for c in combos))
 
-    def mask_fn(coords: jnp.ndarray) -> jnp.ndarray:
-        occ = jnp.zeros((ny, nx), jnp.float32)
-        valid = coords[:, 0] >= 0
-        gy = jnp.where(valid, coords[:, 1], 0)
-        gx = jnp.where(valid, coords[:, 2], 0)
-        occ = occ.at[gy, gx].max(valid.astype(jnp.float32), mode="drop")
-        occ = jnp.pad(occ, ((pad_t, pad_b), (pad_l, pad_r)))
+    def from_occ(occ: jnp.ndarray) -> jnp.ndarray:
+        """(ny, nx) 0/1 occupancy -> (A,) anchor mask (no coords scatter —
+        the stream pillar path derives occupancy from the canvas itself)."""
+        occ = jnp.pad(occ.astype(jnp.float32),
+                      ((pad_t, pad_b), (pad_l, pad_r)))
         # separable box filter: cumsum per axis + static strided slices
         # (XLA's reduce_window has no fast path for ~25-cell windows; 0/1
         # counts stay exact in f32 cumsums at these sizes)
@@ -219,6 +217,15 @@ def make_grid_area_mask(
             masks.append(area > area_threshold)
         return jnp.stack(masks, axis=-1).reshape(-1)
 
+    def mask_fn(coords: jnp.ndarray) -> jnp.ndarray:
+        occ = jnp.zeros((ny, nx), jnp.float32)
+        valid = coords[:, 0] >= 0
+        gy = jnp.where(valid, coords[:, 1], 0)
+        gx = jnp.where(valid, coords[:, 2], 0)
+        occ = occ.at[gy, gx].max(valid.astype(jnp.float32), mode="drop")
+        return from_occ(occ)
+
+    mask_fn.from_occ = from_occ
     return mask_fn
 
 

@@ -166,6 +166,174 @@ def voxelize(
 voxelize_batch = jax.vmap(voxelize, in_axes=(0, 0, None, None, None, None))
 
 
+# ---------------------------------------------------------------------------
+# Stream voxelization: per-point sorted stream + segmented-scan decoration,
+# skipping the padded (V, P, F) voxels tensor entirely. The round-3 xplane
+# trace showed the voxels scatter costs ~46 ns/row (3.4 ms/step at KITTI
+# scale) and the PFN then computes on 512k mostly-padded rows; the stream
+# path feeds the PFN the ~18k real points directly and scatters ONCE (the
+# finished pillar features straight onto the canvas).
+# ---------------------------------------------------------------------------
+
+
+class StreamVoxels(NamedTuple):
+    feats: jnp.ndarray       # (N, F + 5) decorated, zeroed where ~keep
+    keep: jnp.ndarray        # (N,) point kept (valid, slot/rank in caps)
+    first: jnp.ndarray       # (N,) kept-group head flags (segment starts)
+    canvas_idx: jnp.ndarray  # (N,) gy*nx+gx at each group's LAST row, else OOB
+    num_voxels: jnp.ndarray  # () int32
+
+
+def _seg_sum(first: jnp.ndarray, x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """Inclusive segmented cumsum: resets where ``first``. Associative."""
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, vb + jnp.where(fb, jnp.zeros_like(va), va)
+
+    f = first[..., None] if x.ndim == first.ndim + 1 else first
+    f = jnp.broadcast_to(f, x.shape)
+    _, out = jax.lax.associative_scan(comb, (f, x), axis=axis)
+    return out
+
+
+def _seg_ffill(flags: jnp.ndarray, vals: jnp.ndarray, axis: int = 0):
+    """Forward-fill the value at flagged positions over following rows."""
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, va)
+
+    _, out = jax.lax.associative_scan(comb, (flags, vals), axis=axis)
+    return out
+
+
+def seg_running_max(first: jnp.ndarray, x: jnp.ndarray, axis: int = 0):
+    """Inclusive segmented running max: resets where ``first``; at each
+    segment's last row the value is the full segment maximum. Used by the
+    stream PFN to reduce per-point features into pillar features."""
+    def comb(a, b):
+        fa, va = a
+        fb, vb = b
+        return fa | fb, jnp.where(fb, vb, jnp.maximum(va, vb))
+
+    f = first[..., None] if x.ndim == first.ndim + 1 else first
+    f = jnp.broadcast_to(f, x.shape)
+    _, out = jax.lax.associative_scan(comb, (f, x), axis=axis)
+    return out
+
+
+def _seg_total(first: jnp.ndarray, x: jnp.ndarray, axis: int = 0):
+    """Broadcast each segment's TOTAL to all its members (two scans).
+
+    Contributions after the last segment head must already be zeroed by the
+    caller (the invalid tail) — the array-end flag then carries the final
+    segment's true total backward."""
+    s = _seg_sum(first, x, axis=axis)
+    nxt = jnp.concatenate(
+        [jnp.moveaxis(first, axis, 0)[1:],
+         jnp.ones_like(jnp.moveaxis(first, axis, 0)[:1])], 0)
+    last = jnp.moveaxis(nxt, 0, axis)
+    if s.ndim == last.ndim + 1:
+        last = last[..., None]
+    last = jnp.broadcast_to(last, s.shape)
+    filled = _seg_ffill(jnp.flip(last, axis=axis).astype(bool),
+                        jnp.flip(s, axis=axis), axis=axis)
+    return jnp.flip(filled, axis=axis)
+
+
+def voxelize_stream(
+    points: jnp.ndarray,
+    points_mask: jnp.ndarray,
+    voxel_size: Tuple[float, float, float],
+    point_cloud_range: Tuple[float, float, float, float, float, float],
+    max_voxels: int = 16000,
+    max_points: int = 32,
+) -> StreamVoxels:
+    """points (N, F) + mask -> decorated per-point stream (no voxel padding).
+
+    Same keep semantics as ``voxelize`` (first-come voxels/points, caps) and
+    the same 9/10-feature decoration as ``decorate_pillar_features`` — the
+    consumer runs the PFN on the stream and segment-maxes into pillars.
+    ``canvas_idx`` carries each group's BEV linear index at its LAST row
+    (where a segmented running max holds the complete pillar feature) and is
+    out of bounds everywhere else, so one `.at[canvas_idx].set` scatter of
+    the finished features builds the pseudo-image.
+    """
+    n, f = points.shape
+    vs = jnp.asarray(voxel_size, jnp.float32)
+    pcr = jnp.asarray(point_cloud_range, jnp.float32)
+    nx, ny, nz = grid_size(point_cloud_range, voxel_size)
+
+    g = jnp.floor((points[:, :3] - pcr[:3]) / vs).astype(jnp.int32)
+    in_range = (
+        (g[:, 0] >= 0) & (g[:, 0] < nx)
+        & (g[:, 1] >= 0) & (g[:, 1] < ny)
+        & (g[:, 2] >= 0) & (g[:, 2] < nz)
+        & points_mask.astype(bool)
+    )
+    vid = (g[:, 2] * ny + g[:, 1]) * nx + g[:, 0]
+    big = nx * ny * nz + 1
+    vid = jnp.where(in_range, vid, big)
+
+    pos = jnp.arange(n, dtype=jnp.int32)
+    pcols = tuple(points[:, i] for i in range(f))
+    sorted1 = jax.lax.sort(
+        (vid, pos) + pcols + (g[:, 0], g[:, 1]), num_keys=1, is_stable=True
+    )
+    svid, order = sorted1[0], sorted1[1]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), svid[1:] != svid[:-1]]
+    ) & (svid < big)
+    _, firstidx = jax.lax.associative_scan(
+        lambda a, b: (a[0] | b[0], jnp.where(b[0], b[1], a[1])),
+        (first, jnp.where(first, order, 0)),
+    )
+    firstidx = jnp.where(svid < big, firstidx, n)
+    sorted2 = jax.lax.sort(
+        (firstidx, svid) + sorted1[2:], num_keys=1, is_stable=True
+    )
+    svid = sorted2[1]
+    spoints = jnp.stack(sorted2[2 : 2 + f], axis=-1)
+    sgx, sgy = sorted2[2 + f], sorted2[3 + f]
+    first = jnp.concatenate(
+        [jnp.ones((1,), bool), svid[1:] != svid[:-1]]
+    ) & (svid < big)
+    slot = jnp.cumsum(first.astype(jnp.int32)) - 1
+    first_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(first, pos, -1)
+    )
+    rank = pos - first_pos
+    keep = (svid < big) & (slot < max_voxels) & (rank < max_points)
+
+    # decoration on the stream (cluster mean over KEPT points, pillar center)
+    kf = keep.astype(jnp.float32)
+    xyz = spoints[:, :3] * kf[:, None]
+    total_xyz = _seg_total(first, xyz)
+    count = jnp.maximum(_seg_total(first, kf), 1.0)
+    cluster = spoints[:, :3] - total_xyz / count[:, None]
+    cx = sgx.astype(jnp.float32) * vs[0] + (vs[0] / 2 + pcr[0])
+    cy = sgy.astype(jnp.float32) * vs[1] + (vs[1] / 2 + pcr[1])
+    center = spoints[:, :2] - jnp.stack([cx, cy], -1)
+    feats = jnp.concatenate([spoints, cluster, center], axis=-1)
+    feats = feats * kf[:, None]
+
+    # group-end rows (the running segmented max is complete there): detect
+    # by the vid CHANGING, not by `first` — the last valid group's successor
+    # is the invalid tail, whose head carries no `first` flag
+    ends = jnp.concatenate([svid[1:] != svid[:-1], jnp.ones((1,), bool)])
+    group_ok = (svid < big) & (slot < max_voxels)
+    lin = sgy * nx + sgx
+    canvas_idx = jnp.where(ends & group_ok, lin, ny * nx)
+    num_voxels = jnp.minimum(jnp.max(slot) + 1, max_voxels).astype(jnp.int32)
+    return StreamVoxels(feats, keep, first, canvas_idx, num_voxels)
+
+
+voxelize_stream_batch = jax.vmap(
+    voxelize_stream, in_axes=(0, 0, None, None, None, None)
+)
+
+
 def decorate_pillar_features(
     voxels: jnp.ndarray,
     num_points: jnp.ndarray,

@@ -140,6 +140,70 @@ def test_voxelize_batch_shapes():
     assert out.num_points.shape == (4, 1000)
 
 
+import pytest
+
+
+@pytest.mark.parametrize("filters", [(16,), (16, 16)])
+def test_stream_path_matches_dense_canvas(filters):
+    """The stream pillar path (sorted stream -> PFN -> one canvas scatter)
+    must reproduce the dense path (voxels tensor -> PFN -> scatter) exactly:
+    same decoration, same masked-BN statistics, same per-pillar max, same
+    cell placement. The two-layer case exercises the non-last concat-back
+    (CenterPoint's two-PFN flavor)."""
+    import jax
+
+    from minddet_tpu.models.readers.pillar_encoder import (
+        PillarFeatureNet,
+        PointPillarsScatter,
+    )
+    from minddet_tpu.ops.voxelize import voxelize_stream_batch
+
+    rng = np.random.RandomState(11)
+    b, n = 2, 600
+    pts = np.stack([_rand_points(rng, n) for _ in range(b)])
+    mask = rng.rand(b, n) < 0.9
+    vs, pcr = (0.32, 0.32, 4.0), (0.0, -6.4, -3.0, 12.8, 6.4, 1.0)
+    nx, ny, _ = grid_size(pcr, vs)
+    mv, mp = 300, 8
+
+    pfn = PillarFeatureNet(num_filters=filters, masked_bn=True)
+    scat = PointPillarsScatter(ny=ny, nx=nx)
+
+    # dense path
+    from minddet_tpu.ops.voxelize import decorate_pillar_features
+
+    vox = voxelize_batch(jnp.asarray(pts), jnp.asarray(mask), vs, pcr, mv, mp)
+    feats_d = decorate_pillar_features(
+        vox.voxels, vox.num_points, vox.coords, vs, pcr)
+    variables = pfn.init(jax.random.PRNGKey(0), feats_d, vox.num_points,
+                         train=True)
+    pill_d, _ = pfn.apply(variables, feats_d, vox.num_points, train=True,
+                          mutable=["batch_stats"])
+    canvas_d = scat.apply({}, pill_d, vox.coords)
+
+    # stream path with the SAME params
+    sv = voxelize_stream_batch(jnp.asarray(pts), jnp.asarray(mask), vs, pcr,
+                               mv, mp)
+    h, updated = pfn.apply(variables, sv.feats, sv.keep, sv.first, train=True,
+                           mutable=["batch_stats"], method=pfn.stream)
+
+    def scatter_one(rows_i, idx_i):
+        flat = jnp.zeros((ny * nx + 1, rows_i.shape[-1]), rows_i.dtype)
+        return flat.at[idx_i].set(rows_i, mode="drop",
+                                  unique_indices=True)[:-1]
+
+    canvas_s = jax.vmap(scatter_one)(h, sv.canvas_idx).reshape(b, ny, nx, -1)
+    np.testing.assert_allclose(np.asarray(canvas_s), np.asarray(canvas_d),
+                               rtol=2e-4, atol=2e-4)
+    # batch stats must match too (identical valid-point statistics)
+    _, updated_d = pfn.apply(variables, feats_d, vox.num_points, train=True,
+                             mutable=["batch_stats"])
+    for va, vb in zip(jax.tree_util.tree_leaves(updated),
+                      jax.tree_util.tree_leaves(updated_d)):
+        np.testing.assert_allclose(np.asarray(va), np.asarray(vb),
+                                   rtol=1e-4, atol=1e-5)
+
+
 def test_decorate_features():
     rng = np.random.RandomState(3)
     pts = _rand_points(rng, 200)
