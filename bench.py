@@ -15,9 +15,9 @@ Metrics (BASELINE.md / VERDICT r1 #6):
 Budget design (VERDICT r2 item 1): every bench runs in its OWN subprocess
 with its own wall-clock cap, so one overrun can never starve the rest. The
 headline runs first with the largest slice; secondaries run cheapest-first.
-A repo-local persistent compile cache (.jax_cache, committed) makes the
-driver's run start warm — cold single-core compiles of the zoo models take
-minutes each.
+A repo-local persistent compile cache (.jax_cache, gitignored — it persists
+in the working tree across rounds) makes the driver's run start warm — cold
+remote compiles of the zoo models take tens of minutes each.
 """
 
 from __future__ import annotations
@@ -304,14 +304,18 @@ def bench_faster_rcnn_infer() -> dict:
     }
 
 
-# name -> (fn, cold-cache wall estimate s, warm-cache estimate s)
+# name -> (fn, cold-cache wall estimate s, warm-cache estimate s).
+# Cold numbers reflect measured remote-compile times on this tunnel (the
+# big train steps take 20-30 min each); under a tight cold budget the
+# parent therefore runs the headline and skips what cannot fit, while a
+# warm .jax_cache (working-tree persistent) brings every bench under ~2 min.
 _HEADLINE = "centernet_train"
 _BENCHES = {
-    "centernet_train": (bench_centernet_train, 330, 90),
-    "decode_nms": (bench_decode_nms_p50, 90, 40),
-    "pointpillars_train": (bench_pointpillars_train, 210, 70),
-    "yolov8s_infer": (bench_yolov8s_infer, 300, 60),
-    "faster_rcnn_infer": (bench_faster_rcnn_infer, 300, 60),
+    "centernet_train": (bench_centernet_train, 2100, 110),
+    "decode_nms": (bench_decode_nms_p50, 300, 50),
+    "pointpillars_train": (bench_pointpillars_train, 1900, 90),
+    "yolov8s_infer": (bench_yolov8s_infer, 900, 70),
+    "faster_rcnn_infer": (bench_faster_rcnn_infer, 1500, 70),
 }
 # secondaries cheapest-first so a tight budget lands the most lines
 _SECONDARY_ORDER = ("decode_nms", "pointpillars_train", "yolov8s_infer",
@@ -362,6 +366,8 @@ def main() -> None:
     budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
     warm = os.path.isdir(os.path.join(_REPO, ".jax_cache")) and any(
         f != ".probe" for f in os.listdir(os.path.join(_REPO, ".jax_cache")))
+    if os.environ.get("BENCH_ASSUME_COLD"):  # cache-repopulation runs
+        warm = False
     est_idx = 2 if warm else 1
 
     done: dict = {}

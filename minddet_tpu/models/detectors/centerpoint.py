@@ -24,7 +24,11 @@ from minddet_tpu.models.readers.pillar_encoder import (
     PointPillarsScatter,
 )
 from minddet_tpu.ops.targets import centerpoint_targets_batch
-from minddet_tpu.ops.voxelize import decorate_pillar_features, voxelize_batch
+from minddet_tpu.ops.voxelize import (
+    decorate_pillar_features,
+    voxelize_batch,
+    voxelize_stream_batch,
+)
 
 
 def unflip_task_map(pred: Dict[str, jnp.ndarray], fx: bool, fy: bool
@@ -129,6 +133,32 @@ class CenterPoint(nn.Module):
         x = self.rpn(canvas, train=train)
         return self.head(x, train=train)
 
+    def _preds_from_points_stream(self, points, points_mask, train: bool):
+        """Stream pillar path (see ``PointPillars._canvas_from_points``):
+        sorted point stream -> PFN -> one canvas scatter, skipping the
+        padded (V, P, F) voxels tensor and its scatter."""
+        sv = voxelize_stream_batch(
+            points, points_mask, tuple(self.voxel_size), tuple(self.pc_range),
+            self.max_voxels, self.max_points_per_voxel,
+        )
+        h = self.reader.stream(sv.feats, sv.keep, sv.first, train=train)
+
+        def scatter_one(rows_i, idx_i):
+            # idx is the OOB sentinel (ny*nx) everywhere but each group's
+            # last row -> duplicates exist only among dropped updates (the
+            # voxelize invariant), so unique_indices is genuinely true
+            flat = jnp.zeros(
+                (self.grid_ny * self.grid_nx, rows_i.shape[-1]),
+                rows_i.dtype,
+            )
+            return flat.at[idx_i].set(rows_i, mode="drop",
+                                      unique_indices=True)
+
+        canvas = jax.vmap(scatter_one)(h, sv.canvas_idx).reshape(
+            points.shape[0], self.grid_ny, self.grid_nx, -1)
+        x = self.rpn(canvas, train=train)
+        return self.head(x, train=train)
+
     def loss_from_gt(self, batch: Dict[str, Any], train: bool = True):
         """Raw-points batch -> loss: device voxelize + per-task Gaussian
         heatmap/anno-box assignment fused into the jitted step (the reference
@@ -139,10 +169,6 @@ class CenterPoint(nn.Module):
         (B, G, 9) [x,y,z,w,l,h,vx,vy,yaw], gt_classes (B, G) 1-based global
         ids (sequential over the task grouping), gt_mask (B, G).
         """
-        vox = voxelize_batch(
-            batch["points"], batch["points_mask"], tuple(self.voxel_size),
-            tuple(self.pc_range), self.max_voxels, self.max_points_per_voxel,
-        )
         fh = self.grid_ny // self.out_size_factor
         fw = self.grid_nx // self.out_size_factor
         example: Dict[str, List] = {
@@ -164,7 +190,8 @@ class CenterPoint(nn.Module):
             for k in example:
                 example[k].append(tt[k])
             lo += n
-        preds = self(vox.voxels, vox.num_points, vox.coords, train=train)
+        preds = self._preds_from_points_stream(
+            batch["points"], batch["points_mask"], train)
         return self.head.loss(preds, example)
 
     def predict_from_points(
@@ -177,13 +204,16 @@ class CenterPoint(nn.Module):
         nms_iou: float = 0.2,
     ) -> Dict[str, jnp.ndarray]:
         """Raw padded points -> detections, one fused device program."""
-        vox = voxelize_batch(
-            points, points_mask, tuple(self.voxel_size), tuple(self.pc_range),
-            self.max_voxels, self.max_points_per_voxel,
-        )
-        return self.predict(
-            vox.voxels, vox.num_points, vox.coords, score_threshold,
-            nms_pre, nms_post, nms_iou,
+        preds = self._preds_from_points_stream(points, points_mask, False)
+        return self.head.predict(
+            preds,
+            pc_range=self.pc_range,
+            voxel_size=self.voxel_size,
+            out_size_factor=self.out_size_factor,
+            score_threshold=score_threshold,
+            nms_pre=nms_pre,
+            nms_post=nms_post,
+            nms_iou=nms_iou,
         )
 
     def predict_tta_double_flip(

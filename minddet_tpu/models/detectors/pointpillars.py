@@ -168,13 +168,14 @@ class PointPillars(nn.Module):
 
         def scatter_one(rows_i, idx_i):
             flat = jnp.zeros(
-                (self.grid_ny * self.grid_nx + 1, rows_i.shape[-1]),
+                (self.grid_ny * self.grid_nx, rows_i.shape[-1]),
                 rows_i.dtype,
             )
-            # idx is OOB everywhere but each group's last row -> duplicates
-            # exist only among dropped updates (the voxelize invariant)
+            # idx is the OOB sentinel (ny*nx) everywhere but each group's
+            # last row -> duplicates exist only among dropped updates (the
+            # voxelize invariant), so unique_indices is genuinely true
             return flat.at[idx_i].set(rows_i, mode="drop",
-                                      unique_indices=True)[:-1]
+                                      unique_indices=True)
 
         flat = jax.vmap(scatter_one)(rows, sv.canvas_idx)
         full = flat.reshape(rows.shape[0], self.grid_ny, self.grid_nx, -1)
