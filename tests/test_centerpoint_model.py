@@ -199,3 +199,55 @@ def test_predict_tta_double_flip_smoke():
     for k in plain:
         assert tta[k].shape == plain[k].shape, k
     assert np.isfinite(np.asarray(tta["scores"])).all()
+
+
+def test_stream_predict_matches_padded_path():
+    """``predict_from_points`` (stream pillar path) must reproduce
+    ``predict`` on the padded voxelization of the same cloud: identical
+    decoration/PFN/scatter proven at ops level (test_voxelize), this pins
+    the detector-level wiring (canvas orientation, caps, head plumbing)."""
+    model = CenterPoint(
+        task_num_classes=TASKS, grid_ny=NY, grid_nx=NX, voxel_size=VS,
+        pc_range=PCR, rpn_filters=(32, 64, 128), rpn_up_filters=(32, 32, 32),
+        out_size_factor=OSF, max_voxels=MAXV, max_points_per_voxel=MAXP,
+    )
+    rng = np.random.RandomState(7)
+    b, n = 2, 350
+    pts = np.stack(
+        [
+            rng.uniform(-6, 6, (b, n)),
+            rng.uniform(-6, 6, (b, n)),
+            rng.uniform(-2, 1, (b, n)),
+            rng.uniform(0, 1, (b, n)),
+            rng.uniform(0, 0.5, (b, n)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    points = jnp.asarray(pts)
+    mask = jnp.asarray(rng.rand(b, n) < 0.9)
+    variables = model.init(
+        jax.random.PRNGKey(3), points, mask, nms_pre=32, nms_post=8,
+        method=model.predict_from_points)
+
+    stream = model.apply(variables, points, mask, 0.0, 32, 8, 0.2,
+                         method=model.predict_from_points)
+    vox = voxelize_batch(points, mask, VS, PCR, MAXV, MAXP)
+    padded = model.apply(variables, vox.voxels, vox.num_points, vox.coords,
+                         0.0, 32, 8, 0.2, method=model.predict)
+
+    for k in ("boxes", "scores", "labels"):
+        assert stream[k].shape == padded[k].shape, k
+    # top-1 per sample must agree exactly (near-tie NMS reorder can permute
+    # the tail; the winner is fp-stable at these magnitudes)
+    s_s, s_p = np.asarray(stream["scores"]), np.asarray(padded["scores"])
+    i_s, i_p = s_s.argmax(1), s_p.argmax(1)
+    np.testing.assert_allclose(
+        s_s[np.arange(b), i_s], s_p[np.arange(b), i_p], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(stream["boxes"])[np.arange(b), i_s],
+        np.asarray(padded["boxes"])[np.arange(b), i_p], rtol=1e-3, atol=1e-3)
+    assert (np.asarray(stream["labels"])[np.arange(b), i_s]
+            == np.asarray(padded["labels"])[np.arange(b), i_p]).all()
+    # full score SETS agree to tolerance (order-free comparison)
+    np.testing.assert_allclose(np.sort(s_s, 1), np.sort(s_p, 1),
+                               rtol=1e-3, atol=1e-4)

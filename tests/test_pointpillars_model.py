@@ -164,3 +164,59 @@ def test_loss_from_gt_device_pipeline():
     out = model.apply(variables, batch["points"], batch["points_mask"],
                       method=model.predict_from_points)
     assert out["boxes"].shape == (2, 300, 7)
+
+
+def test_stream_predict_matches_padded_path():
+    """``predict_from_points`` (stream pillar path + occupancy-channel anchor
+    mask) must reproduce ``predict`` fed the padded voxelization plus the
+    coordinate-derived BEV-occupancy anchor mask of the same cloud."""
+    from minddet_tpu.ops.anchors import anchors_bev_area_mask
+    from minddet_tpu.ops.box import rbbox_to_near_bbox
+
+    model = PointPillars(
+        num_classes=1, grid_ny=NY, grid_nx=NX, voxel_size=VS, pc_range=PCR,
+        rpn_filters=(32, 64, 128), rpn_up_filters=(32, 32, 32),
+        max_voxels=MAXV, max_points_per_voxel=MAXP,
+        anchor_strides=((0.4, 0.4, 0.0),), anchor_offsets=((0.2, -3.0, -1.78),),
+    )
+    rng = np.random.RandomState(5)
+    b, n = 2, 350
+    pts = np.stack(
+        [
+            rng.uniform(0.2, 6.2, (b, n)),
+            rng.uniform(-3.0, 3.0, (b, n)),
+            rng.uniform(-2.5, 0.5, (b, n)),
+            rng.uniform(0, 1, (b, n)),
+        ],
+        axis=-1,
+    ).astype(np.float32)
+    points = jnp.asarray(pts)
+    mask = jnp.asarray(rng.rand(b, n) < 0.9)
+    variables = model.init(
+        jax.random.PRNGKey(2), points, mask, nms_pre=64, nms_post=16,
+        method=model.predict_from_points)
+
+    stream = model.apply(variables, points, mask, 0.0, 64, 16, 0.1,
+                         method=model.predict_from_points)
+
+    gen = model.anchor_set()  # pure config, no params
+    vox = voxelize_batch(points, mask, VS, PCR, MAXV, MAXP)
+    anchors_bv = rbbox_to_near_bbox(gen["anchors"][:, [0, 1, 3, 4, 6]])
+    amask = jax.vmap(
+        lambda c: anchors_bev_area_mask(
+            c, anchors_bv, (NY, NX), VS, PCR, model.anchor_area_threshold,
+        )
+    )(vox.coords)
+    padded = model.apply(variables, vox.voxels, vox.num_points, vox.coords,
+                         gen["anchors"], amask, 0.0, 64, 16, 0.1,
+                         method=model.predict)
+
+    s_s, s_p = np.asarray(stream["scores"]), np.asarray(padded["scores"])
+    i_s, i_p = s_s.argmax(1), s_p.argmax(1)
+    np.testing.assert_allclose(
+        s_s[np.arange(b), i_s], s_p[np.arange(b), i_p], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(stream["boxes"])[np.arange(b), i_s],
+        np.asarray(padded["boxes"])[np.arange(b), i_p], rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.sort(s_s, 1), np.sort(s_p, 1),
+                               rtol=1e-3, atol=1e-4)
