@@ -163,8 +163,6 @@ class PointPillars(nn.Module):
             self.max_voxels, self.max_points_per_voxel,
         )
         h = self.reader.stream(sv.feats, sv.keep, sv.first, train=train)
-        ones = jnp.ones(h.shape[:2] + (1,), h.dtype)
-        rows = jnp.concatenate([h, ones], axis=-1)  # (B, N, C+1)
 
         def scatter_one(rows_i, idx_i):
             flat = jnp.zeros(
@@ -177,9 +175,18 @@ class PointPillars(nn.Module):
             return flat.at[idx_i].set(rows_i, mode="drop",
                                       unique_indices=True)
 
-        flat = jax.vmap(scatter_one)(rows, sv.canvas_idx)
-        full = flat.reshape(rows.shape[0], self.grid_ny, self.grid_nx, -1)
-        return full[..., :-1], full[..., -1].astype(jnp.float32)
+        b = h.shape[0]
+        flat = jax.vmap(scatter_one)(h, sv.canvas_idx)
+        canvas = flat.reshape(b, self.grid_ny, self.grid_nx, -1)
+        # occupancy gets its OWN 1-channel scatter: riding it as a 65th
+        # canvas channel forced a lane-unfriendly (..., 65) layout through
+        # scatter + reshape + two full-canvas slices (~1.8 ms/step in the
+        # round-3 trace)
+        bidx = jnp.broadcast_to(jnp.arange(b)[:, None], sv.canvas_idx.shape)
+        occ = jnp.zeros((b, self.grid_ny * self.grid_nx), jnp.float32).at[
+            bidx, sv.canvas_idx
+        ].set(1.0, mode="drop", unique_indices=True)
+        return canvas, occ.reshape(b, self.grid_ny, self.grid_nx)
 
     def _preds_from_canvas(self, canvas, train: bool):
         b = canvas.shape[0]

@@ -122,8 +122,9 @@ class PFNLayer(nn.Module):
         # broadcast the segment-end value backward (two flips + a fill scan)
         ends = jnp.concatenate(
             [first[:, 1:], jnp.ones_like(first[:, :1])], axis=1)
-        fl = jnp.broadcast_to(ends[..., None], m.shape)
-        filled = _ffill_scan(jnp.flip(fl, 1), jnp.flip(m, 1))
+        # flags stay (B, N, 1): broadcasting to m's channel width doubles
+        # the scanned bytes at every level
+        filled = _ffill_scan(jnp.flip(ends[..., None], 1), jnp.flip(m, 1))
         full = jnp.flip(filled, 1)
         return jnp.concatenate([x, full], axis=-1)
 

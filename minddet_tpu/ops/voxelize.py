@@ -191,8 +191,9 @@ def _seg_sum(first: jnp.ndarray, x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
         fb, vb = b
         return fa | fb, vb + jnp.where(fb, jnp.zeros_like(va), va)
 
+    # keep flags at trailing dim 1 — broadcasting them to x's channel width
+    # doubles the scanned bytes at every level (round-3 trace)
     f = first[..., None] if x.ndim == first.ndim + 1 else first
-    f = jnp.broadcast_to(f, x.shape)
     _, out = jax.lax.associative_scan(comb, (f, x), axis=axis)
     return out
 
@@ -218,7 +219,6 @@ def seg_running_max(first: jnp.ndarray, x: jnp.ndarray, axis: int = 0):
         return fa | fb, jnp.where(fb, vb, jnp.maximum(va, vb))
 
     f = first[..., None] if x.ndim == first.ndim + 1 else first
-    f = jnp.broadcast_to(f, x.shape)
     _, out = jax.lax.associative_scan(comb, (f, x), axis=axis)
     return out
 
@@ -236,7 +236,6 @@ def _seg_total(first: jnp.ndarray, x: jnp.ndarray, axis: int = 0):
     last = jnp.moveaxis(nxt, 0, axis)
     if s.ndim == last.ndim + 1:
         last = last[..., None]
-    last = jnp.broadcast_to(last, s.shape)
     filled = _seg_ffill(jnp.flip(last, axis=axis).astype(bool),
                         jnp.flip(s, axis=axis), axis=axis)
     return jnp.flip(filled, axis=axis)
