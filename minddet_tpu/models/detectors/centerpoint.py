@@ -141,7 +141,8 @@ class CenterPoint(nn.Module):
             points, points_mask, tuple(self.voxel_size), tuple(self.pc_range),
             self.max_voxels, self.max_points_per_voxel,
         )
-        h = self.reader.stream(sv.feats, sv.keep, sv.first, train=train)
+        h = self.reader.stream(sv.feats, sv.keep, sv.first, sv.last,
+                               train=train, bound=self.max_points_per_voxel)
 
         def scatter_one(rows_i, idx_i):
             # idx is the OOB sentinel (ny*nx) everywhere but each group's

@@ -107,25 +107,32 @@ class PFNLayer(nn.Module):
             x_max, x.shape[:2] + (x.shape[2], self.units))
         return jnp.concatenate([x, rep], axis=-1)
 
-    def stream(self, x, keep, first, train: bool = False):
-        """Sorted point stream (B, N, Cin) + keep/segment-head flags ->
-        per-point running features; at each segment's LAST row the value is
-        the pillar feature (same math as the padded path: the BN statistics
-        cover exactly the kept points, the max covers the same set)."""
-        from minddet_tpu.ops.voxelize import seg_running_max
+    def stream(self, x, keep, first, last, train: bool = False,
+               bound: int | None = None):
+        """Sorted point stream (B, N, Cin) + keep/segment-head/last-kept
+        flags -> per-point running features; at each segment's last KEPT row
+        the value is the pillar feature (same math as the padded path: the
+        BN statistics cover exactly the kept points, the max covers the same
+        set). ``bound`` (the voxelizer's per-pillar point cap) switches the
+        segmented ops to distance-bounded shift levels."""
+        from minddet_tpu.ops.voxelize import _seg_bcast_bounded, seg_running_max
 
         x = self._dense_bn_relu(x, keep, train)
-        m = seg_running_max(first, x, axis=1)
+        m = seg_running_max(first, x, axis=1, bound=bound)
         if self.last_layer:
             return m
-        # non-last layers concat each pillar's FULL max back to every point:
-        # broadcast the segment-end value backward (two flips + a fill scan)
-        ends = jnp.concatenate(
-            [first[:, 1:], jnp.ones_like(first[:, :1])], axis=1)
-        # flags stay (B, N, 1): broadcasting to m's channel width doubles
-        # the scanned bytes at every level
-        filled = _ffill_scan(jnp.flip(ends[..., None], 1), jnp.flip(m, 1))
-        full = jnp.flip(filled, 1)
+        # non-last layers concat each pillar's FULL max back to every kept
+        # point: broadcast the last-kept-row value backward
+        if bound is not None:
+            full = _seg_bcast_bounded(last, m, bound, axis=1)
+        else:
+            ends = jnp.concatenate(
+                [first[:, 1:], jnp.ones_like(first[:, :1])], axis=1)
+            # flags stay (B, N, 1): broadcasting to m's channel width
+            # doubles the scanned bytes at every level
+            filled = _ffill_scan(jnp.flip(ends[..., None], 1),
+                                 jnp.flip(m, 1))
+            full = jnp.flip(filled, 1)
         return jnp.concatenate([x, full], axis=-1)
 
 
@@ -173,15 +180,16 @@ class PillarFeatureNet(nn.Module):
             x = layer(x, point_mask, train=train)
         return x.squeeze(axis=2)  # (B, V, C)
 
-    def stream(self, feats, keep, first, train: bool = False):
+    def stream(self, feats, keep, first, last, train: bool = False,
+               bound: int | None = None):
         """Decorated point stream (B, N, Cin) -> running pillar features
-        (B, N, C); consumers scatter the segment-END rows (StreamVoxels.
+        (B, N, C); consumers scatter the last-KEPT rows (StreamVoxels.
         canvas_idx) onto the canvas. Requires masked_bn (the padded path's
         plain BN would see a different zero population)."""
         assert self.masked_bn, "stream PFN requires masked batch norm"
         x = feats.astype(self.dtype)
         for layer in self.layers:
-            x = layer.stream(x, keep, first, train=train)
+            x = layer.stream(x, keep, first, last, train=train, bound=bound)
         return x
 
 

@@ -180,8 +180,71 @@ class StreamVoxels(NamedTuple):
     feats: jnp.ndarray       # (N, F + 5) decorated, zeroed where ~keep
     keep: jnp.ndarray        # (N,) point kept (valid, slot/rank in caps)
     first: jnp.ndarray       # (N,) kept-group head flags (segment starts)
-    canvas_idx: jnp.ndarray  # (N,) gy*nx+gx at each group's LAST row, else OOB
+    last: jnp.ndarray        # (N,) group's LAST KEPT row (rank == count-1)
+    canvas_idx: jnp.ndarray  # (N,) gy*nx+gx at each group's last KEPT row, else OOB
     num_voxels: jnp.ndarray  # () int32
+
+
+def _shift(x: jnp.ndarray, d: int, axis: int, fill) -> jnp.ndarray:
+    """Shift ``x`` by ``d`` along ``axis`` (positive = toward higher index),
+    filling vacated rows with ``fill``. Static slice + pad — fuses cleanly."""
+    n = x.shape[axis]
+    if d > 0:
+        kept = jax.lax.slice_in_dim(x, 0, n - d, axis=axis)
+        pad_idx, at_start = d, True
+    else:
+        kept = jax.lax.slice_in_dim(x, -d, n, axis=axis)
+        pad_idx, at_start = -d, False
+    pad_shape = list(x.shape)
+    pad_shape[axis] = pad_idx
+    pad = jnp.full(pad_shape, fill, x.dtype)
+    parts = (pad, kept) if at_start else (kept, pad)
+    return jnp.concatenate(parts, axis=axis)
+
+
+def _seg_scan_bounded(comb_v, identity, first, x, bound: int, axis: int = 0,
+                      reverse: bool = False):
+    """Segmented inclusive scan truncated at distance ``bound``: exact for
+    every row within ``bound`` rows of its segment head (reverse: tail).
+
+    Hillis–Steele with static shifts — ceil(log2(bound)) fused
+    shift+select levels instead of the full-length associative_scan's
+    ~log2(N) materialized slice/pad/concat levels (the round-3 xplane trace
+    billed those at ~5.7 ms/step at KITTI scale). Rows further than
+    ``bound`` from their segment head get partial values; callers must only
+    consume rows inside the bound (the voxelizer's per-pillar point cap
+    guarantees this for kept rows)."""
+    f = first
+    if x.ndim == f.ndim + 1:
+        f = f[..., None]
+    v = x
+    d = 1
+    sgn = -1 if reverse else 1
+    while d < bound:
+        fs = _shift(f, sgn * d, axis, True)
+        vs = _shift(v, sgn * d, axis, identity)
+        v = jnp.where(f, v, comb_v(vs, v))
+        f = f | fs
+        d *= 2
+    return v
+
+
+def _seg_bcast_bounded(sel, vals, bound: int, axis: int = 0):
+    """Broadcast each segment's value at its ``sel``-flagged row BACKWARD to
+    the ≤``bound`` preceding rows (first-flag-in-window semantics). Rows with
+    no flagged row within ``bound`` ahead get garbage — callers must mask."""
+    f = sel
+    if vals.ndim == f.ndim + 1:
+        f = f[..., None]
+    v = jnp.where(f, vals, jnp.zeros_like(vals))
+    d = 1
+    while d < bound:
+        fs = _shift(f, -d, axis, False)
+        vs = _shift(v, -d, axis, 0)
+        v = jnp.where(f, v, vs)
+        f = f | fs
+        d *= 2
+    return v
 
 
 def _seg_sum(first: jnp.ndarray, x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
@@ -198,6 +261,11 @@ def _seg_sum(first: jnp.ndarray, x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
     return out
 
 
+def _seg_sum_bounded(first, x, bound: int, axis: int = 0):
+    """Bounded-distance segmented cumsum (see ``_seg_scan_bounded``)."""
+    return _seg_scan_bounded(jnp.add, 0, first, x, bound, axis)
+
+
 def _seg_ffill(flags: jnp.ndarray, vals: jnp.ndarray, axis: int = 0):
     """Forward-fill the value at flagged positions over following rows."""
     def comb(a, b):
@@ -209,10 +277,20 @@ def _seg_ffill(flags: jnp.ndarray, vals: jnp.ndarray, axis: int = 0):
     return out
 
 
-def seg_running_max(first: jnp.ndarray, x: jnp.ndarray, axis: int = 0):
+def seg_running_max(first: jnp.ndarray, x: jnp.ndarray, axis: int = 0,
+                    bound: int | None = None):
     """Inclusive segmented running max: resets where ``first``; at each
-    segment's last row the value is the full segment maximum. Used by the
-    stream PFN to reduce per-point features into pillar features."""
+    segment's last KEPT row the value is the full segment maximum. Used by
+    the stream PFN to reduce per-point features into pillar features.
+
+    With ``bound`` (the voxelizer's per-pillar point cap): exact only for
+    rows within ``bound`` of their segment head — which covers every KEPT
+    row, at ceil(log2(bound)) fused levels instead of log2(N)."""
+    if bound is not None:
+        neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) \
+            else jnp.iinfo(x.dtype).min
+        return _seg_scan_bounded(jnp.maximum, neg, first, x, bound, axis)
+
     def comb(a, b):
         fa, va = a
         fb, vb = b
@@ -221,24 +299,6 @@ def seg_running_max(first: jnp.ndarray, x: jnp.ndarray, axis: int = 0):
     f = first[..., None] if x.ndim == first.ndim + 1 else first
     _, out = jax.lax.associative_scan(comb, (f, x), axis=axis)
     return out
-
-
-def _seg_total(first: jnp.ndarray, x: jnp.ndarray, axis: int = 0):
-    """Broadcast each segment's TOTAL to all its members (two scans).
-
-    Contributions after the last segment head must already be zeroed by the
-    caller (the invalid tail) — the array-end flag then carries the final
-    segment's true total backward."""
-    s = _seg_sum(first, x, axis=axis)
-    nxt = jnp.concatenate(
-        [jnp.moveaxis(first, axis, 0)[1:],
-         jnp.ones_like(jnp.moveaxis(first, axis, 0)[:1])], 0)
-    last = jnp.moveaxis(nxt, 0, axis)
-    if s.ndim == last.ndim + 1:
-        last = last[..., None]
-    filled = _seg_ffill(jnp.flip(last, axis=axis).astype(bool),
-                        jnp.flip(s, axis=axis), axis=axis)
-    return jnp.flip(filled, axis=axis)
 
 
 def voxelize_stream(
@@ -305,11 +365,23 @@ def voxelize_stream(
     rank = pos - first_pos
     keep = (svid < big) & (slot < max_voxels) & (rank < max_points)
 
+    # each group's LAST KEPT row: kept rows are the group's first
+    # min(count, max_points) rows (stable sort + rank), so the segment
+    # between `first` and `last` spans at most max_points rows — every
+    # segmented op below can run DISTANCE-BOUNDED (log2(max_points) fused
+    # shift levels instead of log2(N) materialized scan levels)
+    ends = jnp.concatenate([svid[1:] != svid[:-1], jnp.ones((1,), bool)])
+    last = keep & (ends | (rank == max_points - 1))
+
     # decoration on the stream (cluster mean over KEPT points, pillar center)
     kf = keep.astype(jnp.float32)
     xyz = spoints[:, :3] * kf[:, None]
-    total_xyz = _seg_total(first, xyz)
-    count = jnp.maximum(_seg_total(first, kf), 1.0)
+    total_xyz = _seg_bcast_bounded(
+        last, _seg_sum_bounded(first, xyz, max_points), max_points)
+    count = jnp.maximum(
+        _seg_bcast_bounded(
+            last, _seg_sum_bounded(first, kf, max_points), max_points),
+        1.0)
     cluster = spoints[:, :3] - total_xyz / count[:, None]
     cx = sgx.astype(jnp.float32) * vs[0] + (vs[0] / 2 + pcr[0])
     cy = sgy.astype(jnp.float32) * vs[1] + (vs[1] / 2 + pcr[1])
@@ -317,15 +389,10 @@ def voxelize_stream(
     feats = jnp.concatenate([spoints, cluster, center], axis=-1)
     feats = feats * kf[:, None]
 
-    # group-end rows (the running segmented max is complete there): detect
-    # by the vid CHANGING, not by `first` — the last valid group's successor
-    # is the invalid tail, whose head carries no `first` flag
-    ends = jnp.concatenate([svid[1:] != svid[:-1], jnp.ones((1,), bool)])
-    group_ok = (svid < big) & (slot < max_voxels)
     lin = sgy * nx + sgx
-    canvas_idx = jnp.where(ends & group_ok, lin, ny * nx)
+    canvas_idx = jnp.where(last, lin, ny * nx)
     num_voxels = jnp.minimum(jnp.max(slot) + 1, max_voxels).astype(jnp.int32)
-    return StreamVoxels(feats, keep, first, canvas_idx, num_voxels)
+    return StreamVoxels(feats, keep, first, last, canvas_idx, num_voxels)
 
 
 voxelize_stream_batch = jax.vmap(

@@ -184,7 +184,8 @@ def test_stream_path_matches_dense_canvas(filters):
     # stream path with the SAME params
     sv = voxelize_stream_batch(jnp.asarray(pts), jnp.asarray(mask), vs, pcr,
                                mv, mp)
-    h, updated = pfn.apply(variables, sv.feats, sv.keep, sv.first, train=True,
+    h, updated = pfn.apply(variables, sv.feats, sv.keep, sv.first, sv.last,
+                           train=True, bound=mp,
                            mutable=["batch_stats"], method=pfn.stream)
 
     def scatter_one(rows_i, idx_i):
