@@ -223,3 +223,69 @@ def test_decorate_features():
     v0 = int(np.argmax(counts))
     c = counts[v0]
     np.testing.assert_allclose(f[v0, :c, 4:7].sum(axis=0), 0.0, atol=1e-3)
+
+
+def test_bounded_seg_ops_match_bruteforce():
+    """Distance-bounded segmented scan/broadcast: exact at every row within
+    ``bound`` of its segment head (resp. last-kept row), including segments
+    LONGER than the bound (exactly the voxelizer's overflow shape)."""
+    from minddet_tpu.ops.voxelize import (
+        _seg_bcast_bounded,
+        _seg_scan_bounded,
+        _seg_sum_bounded,
+        seg_running_max,
+    )
+
+    rng = np.random.RandomState(17)
+    n, c, bound = 400, 5, 8
+    # random segment layout incl. runs longer than bound
+    first = np.zeros(n, bool)
+    first[0] = True
+    i = 0
+    while i < n:
+        step = rng.randint(1, 20)  # some segments exceed bound=8
+        i += step
+        if i < n:
+            first[i] = True
+    x = rng.randn(n, c).astype(np.float32)
+
+    seg_id = np.cumsum(first) - 1
+    run_max = np.empty_like(x)
+    run_sum = np.empty_like(x)
+    for s in range(seg_id.max() + 1):
+        idx = np.where(seg_id == s)[0]
+        run_max[idx] = np.maximum.accumulate(x[idx], axis=0)
+        run_sum[idx] = np.cumsum(x[idx], axis=0)
+
+    got_max = np.asarray(seg_running_max(jnp.asarray(first), jnp.asarray(x),
+                                         bound=bound))
+    got_sum = np.asarray(_seg_sum_bounded(jnp.asarray(first), jnp.asarray(x),
+                                          bound))
+    # rows within `bound` of their segment head must be exact
+    pos_in_seg = np.arange(n) - np.maximum.accumulate(
+        np.where(first, np.arange(n), -1))
+    ok = pos_in_seg < bound
+    assert ok.sum() > n // 2
+    np.testing.assert_allclose(got_max[ok], run_max[ok], rtol=1e-6)
+    np.testing.assert_allclose(got_sum[ok], run_sum[ok], rtol=1e-5, atol=1e-5)
+
+    # broadcast: value at a flagged row reaches the <=bound-1 preceding rows
+    sel = np.zeros(n, bool)
+    sel[np.where(first)[0][1:] - 1] = True  # segment-end rows
+    sel[-1] = True
+    vals = rng.randn(n, c).astype(np.float32)
+    got_b = np.asarray(_seg_bcast_bounded(jnp.asarray(sel), jnp.asarray(vals),
+                                          bound))
+    nxt = np.full(n, -1)
+    j = -1
+    for i in range(n - 1, -1, -1):
+        if sel[i]:
+            j = i
+        nxt[i] = j
+    for i in range(n):
+        if nxt[i] >= 0 and nxt[i] - i < bound:
+            np.testing.assert_allclose(got_b[i], vals[nxt[i]], rtol=1e-6)
+
+    # unbounded path unchanged (scan fallback)
+    got_unb = np.asarray(seg_running_max(jnp.asarray(first), jnp.asarray(x)))
+    np.testing.assert_allclose(got_unb, run_max, rtol=1e-6)
