@@ -247,34 +247,9 @@ def _seg_bcast_bounded(sel, vals, bound: int, axis: int = 0):
     return v
 
 
-def _seg_sum(first: jnp.ndarray, x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
-    """Inclusive segmented cumsum: resets where ``first``. Associative."""
-    def comb(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, vb + jnp.where(fb, jnp.zeros_like(va), va)
-
-    # keep flags at trailing dim 1 — broadcasting them to x's channel width
-    # doubles the scanned bytes at every level (round-3 trace)
-    f = first[..., None] if x.ndim == first.ndim + 1 else first
-    _, out = jax.lax.associative_scan(comb, (f, x), axis=axis)
-    return out
-
-
 def _seg_sum_bounded(first, x, bound: int, axis: int = 0):
     """Bounded-distance segmented cumsum (see ``_seg_scan_bounded``)."""
     return _seg_scan_bounded(jnp.add, 0, first, x, bound, axis)
-
-
-def _seg_ffill(flags: jnp.ndarray, vals: jnp.ndarray, axis: int = 0):
-    """Forward-fill the value at flagged positions over following rows."""
-    def comb(a, b):
-        fa, va = a
-        fb, vb = b
-        return fa | fb, jnp.where(fb, vb, va)
-
-    _, out = jax.lax.associative_scan(comb, (flags, vals), axis=axis)
-    return out
 
 
 def seg_running_max(first: jnp.ndarray, x: jnp.ndarray, axis: int = 0,

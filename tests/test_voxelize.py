@@ -231,7 +231,6 @@ def test_bounded_seg_ops_match_bruteforce():
     LONGER than the bound (exactly the voxelizer's overflow shape)."""
     from minddet_tpu.ops.voxelize import (
         _seg_bcast_bounded,
-        _seg_scan_bounded,
         _seg_sum_bounded,
         seg_running_max,
     )
