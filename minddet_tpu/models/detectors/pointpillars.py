@@ -164,6 +164,8 @@ class PointPillars(nn.Module):
         )
         h = self.reader.stream(sv.feats, sv.keep, sv.first, sv.last,
                                train=train, bound=self.max_points_per_voxel)
+        ones = jnp.ones(h.shape[:2] + (1,), h.dtype)
+        rows = jnp.concatenate([h, ones], axis=-1)  # (B, N, C+1)
 
         def scatter_one(rows_i, idx_i):
             flat = jnp.zeros(
@@ -171,23 +173,19 @@ class PointPillars(nn.Module):
                 rows_i.dtype,
             )
             # idx is the OOB sentinel (ny*nx) everywhere but each group's
-            # last row -> duplicates exist only among dropped updates (the
-            # voxelize invariant), so unique_indices is genuinely true
+            # last KEPT row -> duplicates exist only among dropped updates
+            # (the voxelize invariant), so unique_indices is genuinely true.
+            # Occupancy rides as the 65th channel of THIS scatter: a
+            # separate 64-channel feature scatter compiles to a 5x slower
+            # kernel layout than the combined 65-wide one (round-3 trace:
+            # 5.1 ms vs 1.1 ms), dwarfing the cost of slicing the channel
+            # back off the canvas.
             return flat.at[idx_i].set(rows_i, mode="drop",
                                       unique_indices=True)
 
-        b = h.shape[0]
-        flat = jax.vmap(scatter_one)(h, sv.canvas_idx)
-        canvas = flat.reshape(b, self.grid_ny, self.grid_nx, -1)
-        # occupancy gets its OWN 1-channel scatter: riding it as a 65th
-        # canvas channel forced a lane-unfriendly (..., 65) layout through
-        # scatter + reshape + two full-canvas slices (~1.8 ms/step in the
-        # round-3 trace)
-        bidx = jnp.broadcast_to(jnp.arange(b)[:, None], sv.canvas_idx.shape)
-        occ = jnp.zeros((b, self.grid_ny * self.grid_nx), jnp.float32).at[
-            bidx, sv.canvas_idx
-        ].set(1.0, mode="drop", unique_indices=True)
-        return canvas, occ.reshape(b, self.grid_ny, self.grid_nx)
+        flat = jax.vmap(scatter_one)(rows, sv.canvas_idx)
+        full = flat.reshape(rows.shape[0], self.grid_ny, self.grid_nx, -1)
+        return full[..., :-1], full[..., -1].astype(jnp.float32)
 
     def _preds_from_canvas(self, canvas, train: bool):
         b = canvas.shape[0]
