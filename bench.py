@@ -81,14 +81,8 @@ def bench_centernet_train() -> dict:
     rng = jax.random.PRNGKey(0)
     ho = wo = RES // 4
 
-    image = jnp.asarray(
-        np.random.RandomState(0).randn(BATCH, RES, RES, 3).astype(np.float32)
-    )
-    variables = model.init(rng, image[:1], train=False)
-    tx = adamw(5e-4, clip_global_norm=35.0)
-    state = TrainState.create(variables["params"],
-                              variables.get("batch_stats", {}), tx)
-
+    image_np = np.random.RandomState(0).randn(
+        BATCH, RES, RES, 3).astype(np.float32)
     rs = np.random.RandomState(1)
     o = 128
     boxes = np.zeros((BATCH, o, 4), np.float32)
@@ -100,11 +94,24 @@ def bench_centernet_train() -> dict:
         wh = rs.uniform(4, 30, (n, 2))
         boxes[b, :n] = np.concatenate([xy, xy + wh], 1)
         mask[b, :n] = True
-    targets = centernet_targets_batch(
-        jnp.asarray(boxes), jnp.asarray(classes), jnp.asarray(mask),
-        ho, wo, NUM_CLASSES, 0.7,
-    )
-    batch = {"image": image, "targets": targets}
+
+    # init + target generation run as EAGER op-by-op programs; through the
+    # axon tunnel each eager dispatch pays a remote round trip (~185 s
+    # total measured), so run them on the CPU backend and device_put the
+    # results — only the ONE fused train-step program touches the TPU.
+    tx = adamw(5e-4, clip_global_norm=35.0)
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = model.init(rng, jnp.asarray(image_np[:1]), train=False)
+        targets = centernet_targets_batch(
+            jnp.asarray(boxes), jnp.asarray(classes), jnp.asarray(mask),
+            ho, wo, NUM_CLASSES, 0.7,
+        )
+        state = TrainState.create(variables["params"],
+                                  variables.get("batch_stats", {}), tx)
+    dev = jax.devices()[0]
+    state = jax.device_put(state, dev)
+    batch = jax.device_put(
+        {"image": jnp.asarray(image_np), "targets": targets}, dev)
 
     def loss_apply(variables, batch, train=True):
         return model.apply(
@@ -145,14 +152,20 @@ def bench_pointpillars_train() -> dict:
     BATCH, STEPS = 4, 10
     pcr = (0.0, -39.68, -3.0, 69.12, 39.68, 1.0)
     model = PointPillars(num_classes=1, dtype=jnp.bfloat16)
-    batch = next(synthetic_points_batches(BATCH, pcr, num_points=18000,
-                                          max_gt=24))
-    batch.pop("step", None)
-    batch = {k: jnp.asarray(v) for k, v in batch.items()}
-    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
-                           method=model.loss_from_gt)
-    state = TrainState.create(variables["params"],
-                              variables.get("batch_stats", {}), adamw(2e-4))
+    raw = next(synthetic_points_batches(BATCH, pcr, num_points=18000,
+                                        max_gt=24))
+    raw.pop("step", None)
+    # init eagerly on CPU (each eager TPU dispatch pays a tunnel round trip)
+    with jax.default_device(jax.devices("cpu")[0]):
+        cpu_batch = {k: jnp.asarray(v) for k, v in raw.items()}
+        variables = model.init({"params": jax.random.PRNGKey(0)}, cpu_batch,
+                               method=model.loss_from_gt)
+        state = TrainState.create(variables["params"],
+                                  variables.get("batch_stats", {}),
+                                  adamw(2e-4))
+    dev = jax.devices()[0]
+    state = jax.device_put(state, dev)
+    batch = jax.device_put({k: jnp.asarray(v) for k, v in raw.items()}, dev)
 
     def loss_apply(vs, b, train=True):
         return model.apply(vs, b, train=train, method=model.loss_from_gt,
@@ -195,10 +208,11 @@ def bench_decode_nms_p50() -> dict:
     NMS_PRE, NMS_POST = 1000, 83
     K = 20
     rs = np.random.RandomState(0)
-    hm = jnp.asarray(rs.randn(H, W).astype(np.float32))
-    reg = jnp.asarray(rs.rand(H, W, 2).astype(np.float32))
-    dim = jnp.asarray(rs.rand(H, W, 3).astype(np.float32))
-    rot = jnp.asarray(rs.randn(H, W, 2).astype(np.float32))
+    dev = jax.devices()[0]
+    hm = jax.device_put(rs.randn(H, W).astype(np.float32), dev)
+    reg = jax.device_put(rs.rand(H, W, 2).astype(np.float32), dev)
+    dim = jax.device_put(rs.rand(H, W, 3).astype(np.float32), dev)
+    rot = jax.device_put(rs.randn(H, W, 2).astype(np.float32), dev)
 
     def decode_nms(hm, reg, dim, rot):
         scores = jax.nn.sigmoid(hm).reshape(-1)
@@ -224,7 +238,7 @@ def bench_decode_nms_p50() -> dict:
 
     _sync(chained(hm, reg, dim, rot))
     times = []
-    for _ in range(5):
+    for _ in range(3):
         t0 = time.perf_counter()
         _sync(chained(hm, reg, dim, rot))
         times.append((time.perf_counter() - t0) * 1e3 / K)
@@ -305,17 +319,21 @@ def bench_faster_rcnn_infer() -> dict:
 
 
 # name -> (fn, cold-cache wall estimate s, warm-cache estimate s).
-# Cold numbers reflect measured remote-compile times on this tunnel (the
-# big train steps take 20-30 min each); under a tight cold budget the
-# parent therefore runs the headline and skips what cannot fit, while a
-# warm .jax_cache (working-tree persistent) brings every bench under ~2 min.
+# The axon tunnel pays ~10 s/MB to LOAD a compiled executable onto the
+# device even on a persistent-cache hit (measured 2026-08-17: the 26 MB
+# CenterNet train step syncs its first call after ~300 s with user-cpu
+# ~20 s — pure waiting; the 43 MB PointPillars step takes >480 s warm).
+# Warm estimates therefore reflect program SIZE, not compile time; under
+# the driver's 480 s budget the headline + decode land and the rest print
+# in the bench_incomplete marker. docs/STATUS.md records
+# standalone-measured values for the programs that cannot fit.
 _HEADLINE = "centernet_train"
 _BENCHES = {
-    "centernet_train": (bench_centernet_train, 2100, 110),
-    "decode_nms": (bench_decode_nms_p50, 300, 50),
-    "pointpillars_train": (bench_pointpillars_train, 1900, 90),
-    "yolov8s_infer": (bench_yolov8s_infer, 900, 70),
-    "faster_rcnn_infer": (bench_faster_rcnn_infer, 1500, 70),
+    "centernet_train": (bench_centernet_train, 2100, 360),
+    "decode_nms": (bench_decode_nms_p50, 300, 80),
+    "pointpillars_train": (bench_pointpillars_train, 1900, 540),
+    "yolov8s_infer": (bench_yolov8s_infer, 1200, 900),
+    "faster_rcnn_infer": (bench_faster_rcnn_infer, 3000, 2500),
 }
 # secondaries cheapest-first so a tight budget lands the most lines
 _SECONDARY_ORDER = ("decode_nms", "pointpillars_train", "yolov8s_infer",
@@ -393,9 +411,10 @@ def main() -> None:
     def remaining():
         return budget - (time.monotonic() - start)
 
-    # headline first: largest slice, but leave room for one cheap secondary
-    hl_cap = max(120.0, remaining() - 60.0)
-    line = _spawn(_HEADLINE, min(hl_cap, remaining()))
+    # headline first with essentially the WHOLE budget: its wall time is
+    # dominated by the tunnel's executable-load latency which varies
+    # 350-530 s run to run, and a captured headline beats any secondary
+    line = _spawn(_HEADLINE, max(120.0, remaining() - 5.0))
     if line:
         done[_HEADLINE] = line
 

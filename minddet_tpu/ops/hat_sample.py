@@ -392,6 +392,12 @@ def _xla_path(x, ys, xs, scale):
 def _resolve(x_hwc, implementation):
     if implementation != "auto":
         return implementation
+    # an explicit jax.default_device(cpu) context (e.g. eager CPU init with
+    # the TPU as the primary backend) must get the XLA path — Pallas only
+    # lowers for TPU
+    dd = jax.config.jax_default_device
+    if dd is not None and getattr(dd, "platform", None) not in ("tpu", "axon"):
+        return "xla"
     on_tpu = any(d.platform in ("tpu", "axon") for d in jax.devices())
     return "pallas" if on_tpu else "xla"
 
