@@ -237,3 +237,42 @@ def test_analytic_golden_ap():
     np.testing.assert_allclose(stats["AR@10"], 0.85, atol=1e-9)
     # maxDets=1 keeps only D1 -> recall 0.5 at every threshold
     np.testing.assert_allclose(stats["AR@1"], 0.5, atol=1e-9)
+
+
+def test_analytic_golden_maxdets_truncation():
+    """maxDets truncation happens per image BEFORE matching (pycocotools
+    evaluateImg: dt = dt[0:maxDet]): with 101 detections where the only
+    true positive is ranked LAST by score, AR@100 must drop it while a
+    101-det budget would have scored recall 1."""
+    from minddet_tpu.data.coco_eval import COCOEvaluator
+
+    gt = np.array([[0, 0, 10, 10.0]])
+    # 100 far-away FPs scored above the one perfect TP
+    fp = np.stack([
+        np.linspace(100, 5050, 100), np.full(100, 100.0),
+        np.linspace(100, 5050, 100) + 20, np.full(100, 120.0),
+    ], axis=1)
+    dt = np.vstack([fp, gt])
+    scores = np.concatenate([np.linspace(0.9, 0.5, 100), [0.4]])
+    ev = COCOEvaluator([0])
+    ev.add(0, dt, scores, gt)
+    stats = ev.summarize()
+    # the TP is detection #101 -> truncated at every maxDets budget
+    np.testing.assert_allclose(stats["AR@100"], 0.0, atol=1e-12)
+    np.testing.assert_allclose(stats["AP"], 0.0, atol=1e-12)
+
+    # same scene, TP ranked 100th -> kept by maxDets=100, cut by maxDets=10:
+    # ranked [99 FPs..., TP, FP]; recall hits 1.0 only at rank 100 where
+    # precision is 1/100 -> 101-pt AP = (one recall point above 0) * .01
+    ev2 = COCOEvaluator([0])
+    scores2 = np.concatenate([np.linspace(0.9, 0.5, 100), [0.55]])
+    ev2.add(0, dt, scores2, gt)
+    s2 = ev2.summarize()
+    np.testing.assert_allclose(s2["AR@100"], 1.0, atol=1e-12)
+    np.testing.assert_allclose(s2["AR@10"], 0.0, atol=1e-12)
+    # right-max precision envelope: the single positive precision point sits
+    # at recall 1.0 with p = 1/rank (rank = #FPs scored above the TP, plus
+    # one), so every one of the 101 recall points interpolates to 1/rank
+    rank = int(np.sum(scores2[:100] > 0.55)) + 1
+    expect_ap = 101 * (1.0 / rank) / 101
+    np.testing.assert_allclose(s2["AP"], expect_ap, atol=1e-12)
