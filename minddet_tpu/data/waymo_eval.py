@@ -1,4 +1,4 @@
-"""Waymo Open Dataset detection metrics: L1/L2 AP and APH.
+"""Waymo Open Dataset detection metrics: L1/L2 AP and APH + range breakdowns.
 
 The reference only SHIPS predictions to the official waymo-open-dataset
 toolkit (``det3d_ms/datasets/waymo/waymo_common.py:358`` writes .bin protos
@@ -11,8 +11,14 @@ this is a clean-room implementation of the protocol itself:
 - difficulty: LEVEL_2 = GT labeled L2 or with <= 5 lidar points; the L1
   metric ignores L2 ground truths (they are neither FN nor do their matches
   count as FP — KITTI-style ignore semantics); the L2 metric scores all.
-- APH: every true positive's contribution is weighted by heading accuracy
-  ``max(0, 1 - |dYaw|_wrapped / pi)``; AP uses weight 1.
+- APH: every true positive contributes its heading accuracy
+  ``max(0, 1 - |dYaw|_wrapped / pi)`` to the TP mass in BOTH the precision
+  and the recall numerators (the official metric replaces the TP count with
+  the heading-accuracy sum; denominators keep counts) — AP uses weight 1.
+- RANGE breakdowns: objects are sharded by BEV center distance into
+  [0, 30), [30, 50), [50, inf) and each shard is scored independently
+  (the official BreakdownGenerator partitions both GT and predictions by
+  their own center range before matching).
 - AP integration: 101-point interpolated precision over recall (the official
   toolkit samples the PR curve on a fixed score grid; on the same matches
   the difference is a quantization detail — documented divergence).
@@ -23,7 +29,7 @@ framework-wide SECOND convention).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax.numpy as jnp
 import numpy as np
@@ -33,6 +39,7 @@ from minddet_tpu.ops.rotated_iou import rotated_iou_3d
 IOU_THRESHOLDS = {"Vehicle": 0.7, "Pedestrian": 0.5, "Cyclist": 0.5, "Sign": 0.5}
 N_RECALL_PTS = 101
 L2_MAX_POINTS = 5
+RANGE_BUCKETS = ((0.0, 30.0), (30.0, 50.0), (50.0, np.inf))
 
 
 def _heading_accuracy(gt_yaw: float, dt_yaw: float) -> float:
@@ -84,14 +91,16 @@ def _ap_from_matches(scores, flags, hws, n_gt: int, heading: bool) -> float:
     if n_gt == 0 or len(scores) == 0:
         return 0.0
     order = np.argsort(-scores, kind="mergesort")
+    # APH: the TP mass is the heading-accuracy sum in BOTH precision and
+    # recall numerators (official metrics replace TP with sum(h)); the
+    # denominators stay unweighted counts (FP count, total GT count).
     tp_w = np.where(flags[order] == 1, hws[order] if heading else 1.0, 0.0)
     fp = (flags[order] == 0).astype(np.float64)
-    ctp = np.cumsum(tp_w)
-    # recall uses UNWEIGHTED tp count (heading only discounts precision mass)
+    ctp_w = np.cumsum(tp_w)
     ctp_cnt = np.cumsum(flags[order] == 1)
     cfp = np.cumsum(fp)
-    recall = ctp_cnt / n_gt
-    precision = ctp / np.maximum(ctp_cnt + cfp, 1e-9)
+    recall = ctp_w / n_gt
+    precision = ctp_w / np.maximum(ctp_cnt + cfp, 1e-9)
     rec_grid = np.linspace(0, 1, N_RECALL_PTS)
     prec = np.interp(rec_grid, recall, precision, right=0.0)
     # monotone non-increasing envelope
@@ -100,59 +109,87 @@ def _ap_from_matches(scores, flags, hws, n_gt: int, heading: bool) -> float:
     return float(np.mean(prec))
 
 
-def evaluate_waymo(
-    gt_annos: List[Dict],
-    dt_annos: List[Dict],
-    classes: Sequence[str] = ("Vehicle", "Pedestrian", "Cyclist"),
-) -> Dict[str, Dict[str, float]]:
-    """-> result[class] = {AP_L1, APH_L1, AP_L2, APH_L2} (percent).
+def _bev_range(boxes: np.ndarray) -> np.ndarray:
+    return np.linalg.norm(np.asarray(boxes, np.float64).reshape(-1, 7)[:, :2],
+                          axis=1)
 
-    gt anno per frame: boxes (N, 7), classes (N,) names or ids matching
-    ``classes`` 1-based, optional num_points (N,) and difficulty (N,) where
-    2 marks labeler-assigned LEVEL_2.
-    dt anno per frame: boxes, classes, scores.
-    """
+
+def _eval_shard(
+    gt_annos, dt_annos, cls, classes, thr,
+    rng: Optional[Tuple[float, float]],
+) -> Dict[str, float]:
+    """L1/L2 AP+APH for one class, optionally restricted to a range shard
+    (both GT and detections filtered by their own BEV center distance)."""
     def cls_of(anno, i):
         c = anno["classes"][i]
         if isinstance(c, (str, np.str_)):
             return str(c)
         return classes[int(c) - 1] if 1 <= int(c) <= len(classes) else None
 
+    per_level = {}
+    for level in (1, 2):
+        all_s, all_f, all_h = [], [], []
+        n_gt = 0
+        for g, d in zip(gt_annos, dt_annos):
+            g_sel = [i for i in range(len(g["boxes"]))
+                     if cls_of(g, i) == cls]
+            gb = np.asarray(g["boxes"], np.float64).reshape(-1, 7)[g_sel]
+            npts = np.asarray(
+                g.get("num_points", np.full(len(g["boxes"]), 100))
+            )[g_sel]
+            diff = np.asarray(
+                g.get("difficulty", np.ones(len(g["boxes"])))
+            )[g_sel]
+            d_sel = [i for i in range(len(d["boxes"]))
+                     if cls_of(d, i) == cls]
+            db = np.asarray(d["boxes"], np.float64).reshape(-1, 7)[d_sel]
+            dsc = np.asarray(d["scores"], np.float64)[d_sel]
+            if rng is not None:
+                gk = (_bev_range(gb) >= rng[0]) & (_bev_range(gb) < rng[1])
+                gb, npts, diff = gb[gk], npts[gk], diff[gk]
+                dk = (_bev_range(db) >= rng[0]) & (_bev_range(db) < rng[1])
+                db, dsc = db[dk], dsc[dk]
+            is_l2 = (diff >= 2) | (npts <= L2_MAX_POINTS)
+            ignore = is_l2 if level == 1 else np.zeros(len(gb), bool)
+            n_gt += int((~ignore).sum())
+            s, f, h = _match_frame(gb, ignore, db, dsc, thr)
+            all_s.append(s)
+            all_f.append(f)
+            all_h.append(h)
+        s = np.concatenate(all_s) if all_s else np.zeros(0)
+        f = np.concatenate(all_f) if all_f else np.zeros(0, np.int32)
+        h = np.concatenate(all_h) if all_h else np.zeros(0)
+        per_level[f"AP_L{level}"] = 100 * _ap_from_matches(
+            s, f, h, n_gt, heading=False)
+        per_level[f"APH_L{level}"] = 100 * _ap_from_matches(
+            s, f, h, n_gt, heading=True)
+    return per_level
+
+
+def evaluate_waymo(
+    gt_annos: List[Dict],
+    dt_annos: List[Dict],
+    classes: Sequence[str] = ("Vehicle", "Pedestrian", "Cyclist"),
+    range_breakdowns: bool = False,
+) -> Dict[str, Dict[str, float]]:
+    """-> result[class] = {AP_L1, APH_L1, AP_L2, APH_L2} (percent), plus
+    '<metric>_[lo,hi)' range-shard entries when ``range_breakdowns``.
+
+    gt anno per frame: boxes (N, 7), classes (N,) names or ids matching
+    ``classes`` 1-based, optional num_points (N,) and difficulty (N,) where
+    2 marks labeler-assigned LEVEL_2.
+    dt anno per frame: boxes, classes, scores.
+    """
     out: Dict[str, Dict[str, float]] = {}
     for cls in classes:
         thr = IOU_THRESHOLDS.get(cls, 0.5)
-        per_level = {}
-        for level in (1, 2):
-            all_s, all_f, all_h = [], [], []
-            n_gt = 0
-            for g, d in zip(gt_annos, dt_annos):
-                g_sel = [i for i in range(len(g["boxes"]))
-                         if cls_of(g, i) == cls]
-                gb = np.asarray(g["boxes"], np.float64).reshape(-1, 7)[g_sel]
-                npts = np.asarray(
-                    g.get("num_points", np.full(len(g["boxes"]), 100))
-                )[g_sel]
-                diff = np.asarray(
-                    g.get("difficulty", np.ones(len(g["boxes"])))
-                )[g_sel]
-                is_l2 = (diff >= 2) | (npts <= L2_MAX_POINTS)
-                ignore = is_l2 if level == 1 else np.zeros(len(gb), bool)
-                n_gt += int((~ignore).sum())
-
-                d_sel = [i for i in range(len(d["boxes"]))
-                         if cls_of(d, i) == cls]
-                db = np.asarray(d["boxes"], np.float64).reshape(-1, 7)[d_sel]
-                dsc = np.asarray(d["scores"], np.float64)[d_sel]
-                s, f, h = _match_frame(gb, ignore, db, dsc, thr)
-                all_s.append(s)
-                all_f.append(f)
-                all_h.append(h)
-            s = np.concatenate(all_s) if all_s else np.zeros(0)
-            f = np.concatenate(all_f) if all_f else np.zeros(0, np.int32)
-            h = np.concatenate(all_h) if all_h else np.zeros(0)
-            per_level[f"AP_L{level}"] = 100 * _ap_from_matches(
-                s, f, h, n_gt, heading=False)
-            per_level[f"APH_L{level}"] = 100 * _ap_from_matches(
-                s, f, h, n_gt, heading=True)
+        per_level = _eval_shard(gt_annos, dt_annos, cls, classes, thr, None)
+        if range_breakdowns:
+            for lo, hi in RANGE_BUCKETS:
+                tag = f"[{lo:g},{'inf' if np.isinf(hi) else f'{hi:g}'})"
+                shard = _eval_shard(
+                    gt_annos, dt_annos, cls, classes, thr, (lo, hi))
+                per_level.update(
+                    {f"{k}_{tag}": v for k, v in shard.items()})
         out[cls] = per_level
     return out
