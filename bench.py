@@ -65,6 +65,32 @@ def _sync(x) -> float:
     return float(jnp.asarray(x).reshape(-1)[0])
 
 
+_T0 = time.perf_counter()
+
+
+def _phase(msg: str) -> None:
+    """Per-phase wall timestamps to stderr so a killed child is attributable
+    (VERDICT r3 weak #1)."""
+    print(f"[bench +{time.perf_counter() - _T0:7.1f}s] {msg}",
+          file=sys.stderr, flush=True)
+
+
+def _peak_flops() -> float:
+    """Chip peak for MFU. TPU v5e bf16 ~197 TFLOP/s; override with
+    TPU_PEAK_FLOPS for other parts."""
+    return float(os.environ.get("TPU_PEAK_FLOPS", 197e12))
+
+
+def _mfu_from_cost(cost, step_s: float):
+    try:
+        flops = float(cost["flops"])
+    except Exception:
+        return None
+    if flops <= 0 or step_s <= 0:
+        return None
+    return round(flops / step_s / _peak_flops(), 4)
+
+
 def bench_centernet_train() -> dict:
     import jax
     import jax.numpy as jnp
@@ -108,10 +134,12 @@ def bench_centernet_train() -> dict:
         )
         state = TrainState.create(variables["params"],
                                   variables.get("batch_stats", {}), tx)
+    _phase("cpu init done")
     dev = jax.devices()[0]
     state = jax.device_put(state, dev)
     batch = jax.device_put(
         {"image": jnp.asarray(image_np), "targets": targets}, dev)
+    _phase("device_put done")
 
     def loss_apply(variables, batch, train=True):
         return model.apply(
@@ -120,14 +148,24 @@ def bench_centernet_train() -> dict:
         )
 
     step_fn = make_train_step(loss_apply, donate=True)
-    state, metrics = step_fn(state, batch)
+    lowered = step_fn.lower(state, batch)
+    _phase("lowered")
+    try:
+        cost = lowered.cost_analysis()
+    except Exception:
+        cost = {}
+    compiled = lowered.compile()
+    _phase("compiled (cache hit = local)")
+    state, metrics = compiled(state, batch)
     _sync(metrics["loss"])
+    _phase("first step synced (executable load)")
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        state, metrics = step_fn(state, batch)
+        state, metrics = compiled(state, batch)
     _sync(metrics["loss"])
     dt = time.perf_counter() - t0
+    _phase("timed steps done")
 
     img_per_sec = BATCH * STEPS / dt
     return {
@@ -135,12 +173,17 @@ def bench_centernet_train() -> dict:
         "value": round(img_per_sec, 2),
         "unit": "img/s/chip (bs=16, 512x512, bf16, incl. on-device target gen)",
         "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_CHIP, 3),
+        "mfu": _mfu_from_cost(cost, dt / STEPS),
     }
 
 
 def bench_pointpillars_train() -> dict:
     """Full production KITTI scale: 496x432 grid, 18k points, 214k anchors,
-    the fused loss_from_gt path (device voxelize + anchor mask + assign)."""
+    the fused loss_from_gt path (device voxelize + anchor mask + assign).
+
+    The anchor grids ride in the batch as runtime inputs (fast data path)
+    instead of trace-time constants (slow executable-load path) — see
+    ``PointPillars.loss_from_gt``."""
     import jax
     import jax.numpy as jnp
 
@@ -155,30 +198,44 @@ def bench_pointpillars_train() -> dict:
     raw = next(synthetic_points_batches(BATCH, pcr, num_points=18000,
                                         max_gt=24))
     raw.pop("step", None)
+    _phase("data ready")
     # init eagerly on CPU (each eager TPU dispatch pays a tunnel round trip)
     with jax.default_device(jax.devices("cpu")[0]):
         cpu_batch = {k: jnp.asarray(v) for k, v in raw.items()}
+        cpu_batch.update(model.anchor_set())
         variables = model.init({"params": jax.random.PRNGKey(0)}, cpu_batch,
                                method=model.loss_from_gt)
         state = TrainState.create(variables["params"],
                                   variables.get("batch_stats", {}),
                                   adamw(2e-4))
+    _phase("cpu init done")
     dev = jax.devices()[0]
     state = jax.device_put(state, dev)
-    batch = jax.device_put({k: jnp.asarray(v) for k, v in raw.items()}, dev)
+    batch = jax.device_put(cpu_batch, dev)
+    _phase("device_put done")
 
     def loss_apply(vs, b, train=True):
         return model.apply(vs, b, train=train, method=model.loss_from_gt,
                            mutable=["batch_stats"])
 
     step_fn = make_train_step(loss_apply, donate=True)
-    state, metrics = step_fn(state, batch)
+    lowered = step_fn.lower(state, batch)
+    _phase("lowered")
+    try:
+        cost = lowered.cost_analysis()
+    except Exception:
+        cost = {}
+    compiled = lowered.compile()
+    _phase("compiled (cache hit = local)")
+    state, metrics = compiled(state, batch)
     _sync(metrics["loss"])
+    _phase("first step synced (executable load)")
     t0 = time.perf_counter()
     for _ in range(STEPS):
-        state, metrics = step_fn(state, batch)
+        state, metrics = compiled(state, batch)
     _sync(metrics["loss"])
     dt = time.perf_counter() - t0
+    _phase("timed steps done")
     sps = BATCH * STEPS / dt
     return {
         "metric": "pointpillars_train_samples_per_sec_per_chip",
@@ -186,6 +243,7 @@ def bench_pointpillars_train() -> dict:
         "unit": "samples/s/chip (bs=4, 496x432 grid, 18k pts, fused "
                 "voxelize+assign+train, bf16)",
         "vs_baseline": round(sps / BASELINE_PP_SAMPLES_PER_SEC, 3),
+        "mfu": _mfu_from_cost(cost, dt / STEPS),
     }
 
 

@@ -270,9 +270,16 @@ class PointPillars(nn.Module):
         ``prep_pointcloud`` preprocess.py:176-248).
 
         batch: points (B, N, 4) padded, points_mask (B, N), gt_boxes
-        (B, G, 7), gt_classes (B, G) 1-based, gt_mask (B, G).
+        (B, G, 7), gt_classes (B, G) 1-based, gt_mask (B, G). The batch may
+        also carry "anchors"/"matched_threshold"/"unmatched_threshold" (from
+        ``anchor_set()`` computed once on the host): passing them as runtime
+        inputs keeps the ~1 MB/100k-anchor grids (and whatever XLA
+        constant-folds out of them) out of the serialized executable, whose
+        load over the axon tunnel costs ~10 s/MB (docs/STATUS.md).
         """
-        gen = self.anchor_set()
+        gen = {k: batch[k] for k in
+               ("anchors", "matched_threshold", "unmatched_threshold")
+               } if "anchors" in batch else self.anchor_set()
         anchors = gen["anchors"]
         # regular-grid fast path: strided box-filters instead of the
         # 4-gathers-per-anchor integral-image queries (ops/anchors.py)
