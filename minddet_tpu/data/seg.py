@@ -47,18 +47,16 @@ def seg_examples(
     class id, ``ignore_label`` for void)."""
     import cv2
 
-    stems: List[str] = []
+    # remember the ACTUAL filename per stem: re-probing with lowercased
+    # extensions would miss e.g. 'A.JPG' on case-sensitive filesystems
+    stems: List[Tuple[str, str]] = []
     for f in sorted(os.listdir(image_dir)):
         stem, ext = os.path.splitext(f)
         if ext.lower() in IMG_EXTS:
-            stems.append(stem)
+            stems.append((stem, f))
     h, w = image_hw
-    for stem in stems:
-        img_path = next(
-            os.path.join(image_dir, stem + e)
-            for e in IMG_EXTS
-            if os.path.exists(os.path.join(image_dir, stem + e))
-        )
+    for stem, fname in stems:
+        img_path = os.path.join(image_dir, fname)
         mask_path = None
         for e in (".png", ".bmp"):
             cand = os.path.join(mask_dir, stem + e)

@@ -59,6 +59,12 @@ def convert_waymo_tfrecords(
             "(conversion-time only); install them on the prep machine"
         ) from e
 
+    # raw proto Label.Type -> 1-based index into WAYMO_CLASSES: the proto
+    # enumerates {0 UNKNOWN, 1 VEHICLE, 2 PEDESTRIAN, 3 SIGN, 4 CYCLIST};
+    # the detection task drops SIGN/UNKNOWN and compacts CYCLIST to 3
+    # (reference waymo_decoder.py extract_objects does the same filtering)
+    type_map = {1: 1, 2: 2, 4: 3}
+
     def examples() -> Iterator[Dict[str, Any]]:  # pragma: no cover
         for path in tfrecord_paths:
             for data in tf.data.TFRecordDataset(path, compression_type=""):
@@ -70,17 +76,25 @@ def convert_waymo_tfrecords(
                 from waymo_open_dataset.utils import frame_utils
 
                 ri, cp, _ = frame_utils.parse_range_image_and_camera_projection(frame)
-                pts, _ = frame_utils.convert_range_image_to_point_cloud(frame, ri, cp)
-                points = np.concatenate(pts, axis=0)[:max_points]
+                # keep_polar_features prepends (range, intensity, elongation)
+                # to xyz: reorder to the configs' 5-feature layout
+                # [x, y, z, intensity, elongation]
+                # (configs/centerpoint_pp_waymo.yaml num_features: 5, matching
+                # the reference decoder's points[..., 3:5])
+                pts, _ = frame_utils.convert_range_image_to_point_cloud(
+                    frame, ri, cp, keep_polar_features=True)
+                raw = np.concatenate(pts, axis=0)[:max_points]
+                points = raw[:, [3, 4, 5, 1, 2]]
                 labels = [
                     {
                         "center": (lb.box.center_x, lb.box.center_y, lb.box.center_z),
                         "size": (lb.box.length, lb.box.width, lb.box.height),
                         "heading": lb.box.heading,
-                        "type": lb.type,
+                        "type": type_map[lb.type],
                         "num_points": lb.num_lidar_points_in_box,
                     }
                     for lb in frame.laser_labels
+                    if lb.type in type_map
                 ]
                 yield waymo_frame_to_example(points, labels)
 

@@ -51,7 +51,12 @@ class MaskedBatchNorm(nn.Module):
                 jnp.sum(mask, dtype=jnp.float32), 1.0)
             xm = x * m
             mean = jnp.sum(xm, axis=red, dtype=jnp.float32) / denom
-            sq = jnp.sum(xm * xm, axis=red, dtype=jnp.float32) / denom
+            # square in f32 (ADVICE r3): the cast fuses into the reduction,
+            # so no f32 copy materializes, but E[x^2] keeps f32 mantissas —
+            # the bf16-squared form loses them before accumulation and makes
+            # the E[x^2] - mean^2 cancellation worse for high-mean channels
+            xf = xm.astype(jnp.float32)
+            sq = jnp.sum(xf * xf, axis=red, dtype=jnp.float32) / denom
             var = jnp.maximum(sq - mean * mean, 0.0)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean

@@ -74,8 +74,15 @@ def _install_fake_waymo(monkeypatch):
     # hands back the frame's preset cloud
     frame_utils.parse_range_image_and_camera_projection = (
         lambda frame: (None, None, None))
-    frame_utils.convert_range_image_to_point_cloud = (
-        lambda frame, ri, cp: ([frame._points], None))
+
+    def _convert(frame, ri, cp, keep_polar_features=False):
+        # the real toolkit returns [range, intensity, elongation, x, y, z]
+        # when keep_polar_features=True; the fake's preset clouds are stored
+        # in that 6-feature layout
+        assert keep_polar_features, "converter must request polar features"
+        return [frame._points], None
+
+    frame_utils.convert_range_image_to_point_cloud = _convert
     wod.dataset_pb2 = dataset_pb2
     wod.utils = utils
     utils.frame_utils = frame_utils
@@ -89,21 +96,28 @@ def _install_fake_waymo(monkeypatch):
         monkeypatch.setitem(sys.modules, name, mod)
 
 
-def _frame_spec(rng, n_pts=4000, n_obj=4):
+def _frame_spec(rng, n_pts=4000, n_obj=4, raw_types=False):
     labels = []
-    for _ in range(n_obj):
+    for i in range(n_obj):
         cx, cy = rng.uniform(-40, 40, 2)
         labels.append({
             "box": (cx, cy, 0.8, 4.5, 2.0, 1.7, rng.uniform(-np.pi, np.pi)),
-            "type": int(rng.randint(1, 4)),
+            # raw proto enum {1 VEH, 2 PED, 3 SIGN, 4 CYC} for the converter
+            # path; 1-based WAYMO_CLASSES ids for pre-extracted records
+            "type": int(rng.randint(1, 5)) if raw_types
+            else int(rng.randint(1, 4)),
             "npts": int(rng.randint(1, 200)),
         })
-    pts = np.stack([
+    xyz = np.stack([
         rng.uniform(-70, 70, n_pts), rng.uniform(-70, 70, n_pts),
-        rng.uniform(-1, 3, n_pts), rng.uniform(0, 1, n_pts),
-        rng.uniform(0, 1, n_pts),
-    ], -1).astype(np.float32)
-    return {"points": pts, "labels": labels}
+        rng.uniform(-1, 3, n_pts),
+    ], -1)
+    intensity = rng.uniform(0, 1, (n_pts, 1))
+    elongation = rng.uniform(0, 1, (n_pts, 1))
+    rng_col = np.linalg.norm(xyz, axis=-1, keepdims=True)
+    # toolkit polar layout: [range, intensity, elongation, x, y, z]
+    polar = np.concatenate([rng_col, intensity, elongation, xyz], -1)
+    return {"points": polar.astype(np.float32), "labels": labels}
 
 
 def test_convert_waymo_tfrecords_with_fake_frames(tmp_path, monkeypatch):
@@ -113,7 +127,12 @@ def test_convert_waymo_tfrecords_with_fake_frames(tmp_path, monkeypatch):
     _FRAMES.clear()
     for seg in ("segA", "segB"):
         for f in range(3):
-            _FRAMES[f"{seg}/frame{f}"] = _frame_spec(rng)
+            _FRAMES[f"{seg}/frame{f}"] = _frame_spec(rng, raw_types=True)
+    # one frame with every raw type: 1 VEHICLE, 2 PEDESTRIAN, 3 SIGN, 4 CYCLIST
+    spec = _frame_spec(rng, n_obj=4, raw_types=True)
+    for i, t in enumerate((1, 2, 3, 4)):
+        spec["labels"][i]["type"] = t
+    _FRAMES["segA/frame3"] = spec
     _install_fake_waymo(monkeypatch)
 
     paths = convert_waymo_tfrecords(["segA", "segB"],
@@ -121,11 +140,23 @@ def test_convert_waymo_tfrecords_with_fake_frames(tmp_path, monkeypatch):
     assert paths
     ds = WaymoDetection(str(tmp_path / "waymo-*.arrayrecord"),
                         max_points=5000, max_gt=16)
-    assert len(ds) == 6
+    assert len(ds) == 7
     ex = ds[0]
     assert ex["points"].shape == (5000, 5)
     assert ex["gt_boxes"].shape == (16, 9)
-    assert ex["gt_mask"].sum() == 4
+    # SIGN/UNKNOWN labels are dropped, the rest remapped {1:1, 2:2, 4:3}
+    spec0 = _FRAMES["segA/frame0"]
+    expected = [{1: 1, 2: 2, 4: 3}[b["type"]] for b in spec0["labels"]
+                if b["type"] in (1, 2, 4)]
+    assert ex["gt_mask"].sum() == len(expected)
+    assert list(ex["gt_classes"][ex["gt_mask"]]) == expected
+    # converted points carry [x, y, z, intensity, elongation]
+    np.testing.assert_allclose(
+        ex["points"][: ex["points_mask"].sum()][:, :3].min(axis=0),
+        spec0["points"][:, 3:6].min(axis=0), atol=1e-4)
+    # segA/frame3 (record index 3) holds one label of each raw type:
+    # SIGN dropped, the remainder remapped to [VEHICLE, PEDESTRIAN, CYCLIST]
+    assert list(ds.records[3]["gt_classes"]) == [1, 2, 3]
     # z converted bottom->center: center z = bottom + h/2 = 0.8 - 1.7/2 + ...
     gb = ex["gt_boxes"][ex["gt_mask"]]
     np.testing.assert_allclose(gb[:, 2], 0.8, atol=1e-5)  # original center z
@@ -153,7 +184,9 @@ def _write_waymo_records(tmp_path, n_frames=4, seed=0):
                  "num_points": b["npts"]}
                 for b in spec["labels"]
             ]
-            yield waymo_frame_to_example(spec["points"], labels)
+            # pre-extracted records store [x, y, z, intensity, elongation]
+            yield waymo_frame_to_example(spec["points"][:, [3, 4, 5, 1, 2]],
+                                         labels)
 
     return write_records(str(tmp_path / "wrec"), examples())
 
