@@ -20,6 +20,7 @@ from typing import Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from minddet_tpu.ops.bilinear import bilinear_sample_2d
 
@@ -28,8 +29,9 @@ COCO_MEAN = (0.40789654, 0.44719302, 0.47026115)
 COCO_STD = (0.28863828, 0.27408164, 0.27809835)
 
 # PCA lighting basis from the reference (centernet/src/dataset.py eig_val/vec)
-_EIG_VAL = jnp.array([0.2141788, 0.01817699, 0.00341571])
-_EIG_VEC = jnp.array(
+# numpy, not jnp: module-level jnp constants force backend init at import
+_EIG_VAL = np.array([0.2141788, 0.01817699, 0.00341571], np.float32)
+_EIG_VEC = np.array(
     [
         [-0.58752847, -0.69563484, 0.41340352],
         [-0.5832747, 0.00994535, -0.81221408],

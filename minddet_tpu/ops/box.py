@@ -11,6 +11,7 @@ w along x before rotation, l along y).
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 
 # --------------------------------------------------------------------------
@@ -104,8 +105,10 @@ def rotation_3d_in_axis(points: jnp.ndarray, angles: jnp.ndarray, axis: int = 2)
 # Corner computation
 # --------------------------------------------------------------------------
 
-_CORNER_SIGNS_2D = jnp.array(
-    [[-0.5, -0.5], [-0.5, 0.5], [0.5, 0.5], [0.5, -0.5]], dtype=jnp.float32
+# numpy, not jnp: a module-level jnp.array would initialize the backend at
+# import time (and hang any process whose device tunnel is unreachable)
+_CORNER_SIGNS_2D = np.array(
+    [[-0.5, -0.5], [-0.5, 0.5], [0.5, 0.5], [0.5, -0.5]], dtype=np.float32
 )
 
 
