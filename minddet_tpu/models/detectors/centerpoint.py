@@ -143,6 +143,13 @@ class CenterPoint(nn.Module):
         )
         h = self.reader.stream(sv.feats, sv.keep, sv.first, sv.last,
                                train=train, bound=self.max_points_per_voxel)
+        # 65-wide combined scatter: a clean 64-channel scatter compiles to a
+        # ~5x slower kernel layout at KITTI scale (round-3 trace,
+        # docs/STATUS.md) — ride a throwaway ones channel and slice it off,
+        # exactly like PointPillars._canvas_from_points (where the 65th
+        # channel doubles as occupancy)
+        ones = jnp.ones(h.shape[:2] + (1,), h.dtype)
+        rows = jnp.concatenate([h, ones], axis=-1)
 
         def scatter_one(rows_i, idx_i):
             # idx is the OOB sentinel (ny*nx) everywhere but each group's
@@ -155,8 +162,8 @@ class CenterPoint(nn.Module):
             return flat.at[idx_i].set(rows_i, mode="drop",
                                       unique_indices=True)
 
-        canvas = jax.vmap(scatter_one)(h, sv.canvas_idx).reshape(
-            points.shape[0], self.grid_ny, self.grid_nx, -1)
+        canvas = jax.vmap(scatter_one)(rows, sv.canvas_idx).reshape(
+            points.shape[0], self.grid_ny, self.grid_nx, -1)[..., :-1]
         x = self.rpn(canvas, train=train)
         return self.head(x, train=train)
 

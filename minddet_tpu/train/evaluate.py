@@ -43,7 +43,7 @@ def _pad_batch(arrays: np.ndarray, batch_size: int) -> np.ndarray:
 
 def coco_evaluate(model, variables, records: str, image_hw, num_classes: int,
                   batch_size: int = 8, max_images: int = 0,
-                  segm: bool = False) -> Dict[str, float]:
+                  segm: bool = False, predict_fn=None) -> Dict[str, float]:
     """Fixed-resolution eval path (zoo detectors): warp to ``image_hw``,
     fused predict, inverse-affine back to original pixels.
 
@@ -61,9 +61,15 @@ def coco_evaluate(model, variables, records: str, image_hw, num_classes: int,
     if max_images:
         n = min(n, max_images)
 
-    @jax.jit
-    def predict(image):
-        return model.apply(variables, image, method=model.predict)
+    if predict_fn is not None:
+        # offline path: a reloaded exported program replaces the in-memory
+        # model (evaluate.py --exported; the reference's 310-postprocess /
+        # eval_mindir role)
+        predict = predict_fn
+    else:
+        @jax.jit
+        def predict(image):
+            return model.apply(variables, image, method=model.predict)
 
     predictions = {}
     for start in range(0, n, batch_size):
@@ -403,6 +409,7 @@ def waymo_evaluate(
     batch_size: int = 2,
     max_frames: int = 0,
     score_threshold: float = 0.1,
+    range_breakdowns: bool = False,
 ) -> Dict[str, Dict[str, float]]:
     """CenterPoint -> Waymo L1/L2 AP/APH (clean-room protocol,
     ``data/waymo_eval.py``). The device side is the same fused
@@ -458,7 +465,8 @@ def waymo_evaluate(
                 "classes": labels + 1,  # metric ids are 1-based
                 "scores": scores,
             })
-    return evaluate_waymo(gt_annos, dt_annos, classes=WAYMO_EVAL_NAMES)
+    return evaluate_waymo(gt_annos, dt_annos, classes=WAYMO_EVAL_NAMES,
+                          range_breakdowns=range_breakdowns)
 
 
 # ---------------------------------------------------------------------------
@@ -512,6 +520,11 @@ def main(argv=None) -> None:
                    choices=[None, "coco", "centernet", "kitti", "nuscenes",
                             "waymo", "miou", "segm"],
                    help="override the data-type-derived eval protocol")
+    p.add_argument("--exported", default=None,
+                   help="serialized StableHLO predict program (train.export);"
+                        " runs the offline fixed-shape eval — the 310-style "
+                        "postprocess/eval_mindir role — instead of building "
+                        "the model")
     p.add_argument("--options", nargs="*", default=[])
     args = p.parse_args(argv)
 
@@ -538,6 +551,31 @@ def main(argv=None) -> None:
             protocol = "segm"
         else:
             protocol = "coco"
+
+    if args.exported:
+        # offline exported-program eval: batch size and resolution come from
+        # the artifact's fixed export shapes; no model build / checkpoint
+        # restore happens (the program embeds its weights), matching the
+        # reference's eval-on-310-outputs flow
+        # (centernet/postprocess.py:12-59, centerpoint/tools_ms/
+        # eval_mindir.py:118)
+        from minddet_tpu.train.export import load_exported_program
+
+        fn, in_avals = load_exported_program(args.exported)
+        shape = tuple(in_avals[0].shape)
+        if len(shape) != 4:
+            raise ValueError(
+                f"--exported expects an image predict program with a "
+                f"(B, H, W, 3) input; got input shape {shape}")
+        stats = coco_evaluate(
+            None, None, args.records, (shape[1], shape[2]),
+            int(mcfg.get("num_classes", 80)), batch_size=shape[0],
+            max_images=args.max_images, segm=protocol == "segm",
+            predict_fn=fn,
+        )
+        for k, v in stats.items():
+            logger.info("%s: %.4f", k, v)
+        return
 
     # init variables with the protocol-appropriate input signature
     if protocol in ("kitti", "nuscenes", "waymo"):
@@ -577,6 +615,8 @@ def main(argv=None) -> None:
     if protocol == "waymo":
         table = waymo_evaluate(
             model, variables, args.records, max_frames=args.max_images,
+            range_breakdowns=opts.get("breakdowns", "").lower()
+            in ("1", "true", "yes"),
         )
         for cls, ms in table.items():
             logger.info("%s: %s", cls,

@@ -37,10 +37,22 @@ def export_predict_fn(
 
 def load_exported(path: str):
     """Reload a serialized program -> callable (the eval_mindir equivalent)."""
+    return load_exported_program(path)[0]
+
+
+def load_exported_program(path: str):
+    """Reload a serialized program -> (callable, input avals).
+
+    The avals carry the fixed export shapes, so offline consumers
+    (``evaluate.py --exported``, the 310-postprocess role:
+    ``centernet/postprocess.py:12-59``, ``centerpoint/tools_ms/
+    eval_mindir.py:118``) can derive batch size and resolution from the
+    artifact instead of the config.
+    """
     with open(path, "rb") as f:
         blob = f.read()
     exported = jax_export.deserialize(blob)
-    return lambda *args: exported.call(*args)
+    return (lambda *args: exported.call(*args)), exported.in_avals
 
 
 def export_detector(model, variables, example_image: jnp.ndarray, path: str, **predict_kwargs) -> str:

@@ -455,12 +455,32 @@ def main(argv=None) -> None:
                    help="resume from the latest checkpoint in the workdir")
     p.add_argument("--profile", action="store_true",
                    help="capture a jax.profiler trace (XPlane/Perfetto) of the run")
+    p.add_argument("--data-url", default=None,
+                   help="cloud-train: stage this (gs://, s3://, obs:// or "
+                        "local) directory into <workdir>/data before "
+                        "training and point data.records at it (the "
+                        "reference's ModelArts train_cloud.py data_url)")
+    p.add_argument("--train-url", default=None,
+                   help="cloud-train: mirror the workdir (checkpoints, "
+                        "metrics) to this destination when training ends "
+                        "(train_cloud.py train_url)")
     args = p.parse_args(argv)
 
-    if int(os.environ.get("MINDDET_NUM_PROCESSES", "1")) > 1:
-        jax.distributed.initialize()
+    # env-driven multi-host init must run BEFORE any backend query
+    # (parallel/launch.py ordering contract)
+    from minddet_tpu.parallel.launch import initialize_distributed
+
+    initialize_distributed()
 
     cfg = Config.fromfile(args.config).merge_from_options(args.options)
+    if args.data_url:
+        from minddet_tpu.utils.cloud import sync_dir
+
+        local_data = sync_dir(args.data_url, os.path.join(args.workdir, "data"))
+        if "data" in cfg and cfg.data.get("records"):
+            cfg.data["records"] = os.path.join(
+                local_data, os.path.basename(str(cfg.data["records"])))
+        logger.info("cloud-train: staged %s -> %s", args.data_url, local_data)
     mcfg = dict(cfg.model)
     model = DETECTORS.build(mcfg)
 
@@ -569,6 +589,14 @@ def main(argv=None) -> None:
         trainer.fit(batches, num_steps=steps, batch_size=batch_size,
                     start_step=start_step)
     logger.info("done: %d steps", steps)
+    if args.train_url:
+        from minddet_tpu.parallel.launch import is_main_process
+        from minddet_tpu.utils.cloud import upload_dir
+
+        if is_main_process():  # rank-0 upload, like the reference's gating
+            upload_dir(args.workdir, args.train_url)
+            logger.info("cloud-train: uploaded %s -> %s",
+                        args.workdir, args.train_url)
 
 
 if __name__ == "__main__":

@@ -59,3 +59,57 @@ def listdir(path: str) -> List[str]:
 
     fs, _, paths = fsspec.get_fs_token_paths(path)
     return sorted(fs.ls(paths[0]))
+
+
+def sync_dir(src: str, dst: str) -> str:
+    """Mirror a (possibly remote) directory into a local one; returns dst.
+
+    The download half of the reference's ModelArts cloud-train workflow
+    (``centerpoint/tools_ms/train_cloud.py:250`` stages data_url locally
+    with moxing/OBS before training).
+    """
+    os.makedirs(dst, exist_ok=True)
+    if not is_remote(src):
+        for name in sorted(os.listdir(src)):
+            s = os.path.join(src, name)
+            d = os.path.join(dst, name)
+            if os.path.isdir(s):
+                sync_dir(s, d)
+            else:
+                shutil.copyfile(s, d)
+        return dst
+    import fsspec
+
+    fs, _, paths = fsspec.get_fs_token_paths(src)
+    fs.get(paths[0], dst + os.sep, recursive=True)
+    return dst
+
+
+def upload_dir(src: str, dst: str, exclude: tuple = ("data",)) -> str:
+    """Mirror a local directory to a (possibly remote) destination.
+
+    The upload half of cloud-train: results/checkpoints in the workdir go
+    back to train_url when the job ends. ``exclude`` skips top-level entries
+    (by default the staged input-data mirror, which must not round-trip).
+    """
+    if not is_remote(dst):
+        os.makedirs(dst, exist_ok=True)
+        for name in sorted(os.listdir(src)):
+            if name in exclude:
+                continue
+            s_ = os.path.join(src, name)
+            d_ = os.path.join(dst, name)
+            if os.path.isdir(s_):
+                sync_dir(s_, d_)
+            else:
+                shutil.copyfile(s_, d_)
+        return dst
+    import fsspec
+
+    fs, _, paths = fsspec.get_fs_token_paths(dst)
+    for name in sorted(os.listdir(src)):
+        if name in exclude:
+            continue
+        fs.put(os.path.join(src, name), paths[0] + "/" + name,
+               recursive=True)
+    return dst

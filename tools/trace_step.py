@@ -1,0 +1,178 @@
+"""Capture an xprof trace of one train step and print HLO-level attribution.
+
+The round-3/4 perf loop's workhorse (docs/STATUS.md): run N steps of the
+exact bench-child program under ``jax.profiler.trace``, then parse the
+xplane with xprof's ``hlo_stats`` converter (per-HLO times WITH shapes and
+a 'Bound by' column — better than framework_op_stats for optimization).
+
+    python tools/trace_step.py --model pointpillars --steps 6 \
+        --out /tmp/pp_trace
+    python tools/trace_step.py --model centerpoint --top 40
+
+Prints the top rows by self time plus a category rollup. Uses a FRESH trace
+dir per capture (two sessions in one dir break the converter).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _build(model_name: str):
+    import jax
+    import jax.numpy as jnp
+
+    from minddet_tpu.core.optim import adamw
+    from minddet_tpu.train.loop import TrainState, make_train_step
+    from minddet_tpu.train.train import synthetic_points_batches
+
+    if model_name == "pointpillars":
+        from minddet_tpu.models.detectors.pointpillars import PointPillars
+
+        pcr = (0.0, -39.68, -3.0, 69.12, 39.68, 1.0)
+        model = PointPillars(num_classes=1, dtype=jnp.bfloat16)
+        raw = next(synthetic_points_batches(4, pcr, num_points=18000,
+                                            max_gt=24))
+        raw.pop("step", None)
+        method = model.loss_from_gt
+        extra = model.anchor_set
+    elif model_name == "centerpoint":
+        from minddet_tpu.models.detectors.centerpoint import CenterPoint
+
+        pcr = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+        model = CenterPoint(dtype=jnp.bfloat16)
+        raw = next(synthetic_points_batches(4, pcr, num_points=120000,
+                                            max_gt=64, num_classes=10,
+                                            num_features=5, box_dim=9))
+        raw.pop("step", None)
+        method = model.loss_from_gt
+        extra = None
+    else:
+        raise SystemExit(f"unknown model {model_name}")
+
+    with jax.default_device(jax.devices("cpu")[0]):
+        batch = {k: jnp.asarray(v) for k, v in raw.items()}
+        if extra is not None:
+            batch.update(extra())
+        variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                               method=method)
+        state = TrainState.create(variables["params"],
+                                  variables.get("batch_stats", {}),
+                                  adamw(2e-4))
+    dev = jax.devices()[0]
+    state = jax.device_put(state, dev)
+    batch = jax.device_put(batch, dev)
+
+    def loss_apply(vs, b, train=True):
+        return model.apply(vs, b, train=train, method=method,
+                           mutable=["batch_stats"])
+
+    return make_train_step(loss_apply, donate=True), state, batch
+
+
+def _sync(x):
+    import jax.numpy as jnp
+
+    return float(jnp.asarray(x).reshape(-1)[0])
+
+
+def hlo_stats(trace_dir: str, top: int = 30):
+    """Parse the newest xplane in trace_dir -> rows sorted by self time."""
+    from xprof.convert import raw_to_tool_data as rtd
+
+    xplanes = sorted(glob.glob(
+        os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True))
+    if not xplanes:
+        raise SystemExit(f"no xplane under {trace_dir}")
+    data, _ = rtd.xspace_to_tool_data([xplanes[-1]], "hlo_stats",
+                                      {"tqx": "out:csv"})
+    obj = json.loads(data)
+    if isinstance(obj, list):
+        obj = obj[0]
+    cols = [c["label"] if isinstance(c, dict) else c for c in obj["cols"]]
+    rows = [[c["v"] if isinstance(c, dict) else c for c in r["c"]]
+            if isinstance(r, dict) else r for r in obj["rows"]]
+    return cols, rows
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="pointpillars")
+    p.add_argument("--steps", type=int, default=6)
+    p.add_argument("--out", default=None)
+    p.add_argument("--top", type=int, default=30)
+    p.add_argument("--parse-only", default=None,
+                   help="skip running; parse this existing trace dir")
+    args = p.parse_args(argv)
+
+    trace_dir = args.parse_only
+    if trace_dir is None:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__))), ".jax_cache"))
+        step_fn, state, batch = _build(args.model)
+        state, metrics = step_fn(state, batch)
+        _sync(metrics["loss"])
+        print("warmed; tracing...", flush=True)
+        trace_dir = args.out or f"/tmp/trace_{args.model}_{os.getpid()}"
+        with jax.profiler.trace(trace_dir):
+            t0 = time.perf_counter()
+            for _ in range(args.steps):
+                state, metrics = step_fn(state, batch)
+            _sync(metrics["loss"])
+            dt = time.perf_counter() - t0
+        print(f"{args.steps} steps in {dt:.3f}s -> "
+              f"{dt / args.steps * 1e3:.2f} ms/step", flush=True)
+
+    cols, rows = hlo_stats(trace_dir, args.top)
+
+    def col(name_frag):
+        for i, c in enumerate(cols):
+            if name_frag.lower() in str(c).lower():
+                return i
+        return None
+
+    def first(*frags):
+        for f in frags:
+            i = col(f)
+            if i is not None:
+                return i
+        return None
+
+    i_self = first("total self time (us)", "self time")
+    i_name = first("hlo op name", "name")
+    i_cat = first("category", "hlo op category")
+    i_text = col("hlo op text")
+    i_bound = col("bound")
+    rows = [r for r in rows if r[i_self] not in (None, "")]
+    rows.sort(key=lambda r: -float(r[i_self]))
+    total = sum(float(r[i_self]) for r in rows)
+    print(f"\ntotal device self time: {total / 1e3:.2f} ms "
+          f"(over {args.steps} steps)")
+    agg = {}
+    for r in rows:
+        c = str(r[i_cat]) if i_cat is not None else "?"
+        agg[c] = agg.get(c, 0.0) + float(r[i_self])
+    print("\nby category:")
+    for c, v in sorted(agg.items(), key=lambda kv: -kv[1])[:12]:
+        print(f"  {c:<28}{v / 1e3:9.2f} ms  {100 * v / total:5.1f}%")
+    print(f"\ntop {args.top} ops:")
+    for r in rows[: args.top]:
+        text = str(r[i_text])[:90] if i_text is not None else ""
+        bound = str(r[i_bound]) if i_bound is not None else ""
+        print(f"  {float(r[i_self]) / 1e3:8.3f} ms  {str(r[i_name])[:40]:<42}"
+              f"{bound:<12}{text}")
+
+
+if __name__ == "__main__":
+    main()
