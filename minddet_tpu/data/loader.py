@@ -148,6 +148,13 @@ class DataLoader:
         """Yield collated batches for one epoch with background workers."""
         indices = self.sampler.epoch_indices(epoch)
         n_batches = self.steps_per_epoch()
+        if n_batches == 0:
+            # without this, __iter__ spins over empty epochs forever and the
+            # caller's next() hangs silently
+            raise ValueError(
+                f"dataset shard yields {len(indices)} examples — fewer than "
+                f"batch_size={self.batch_size} with drop_last; shrink the "
+                "batch or add data")
         batches = [
             indices[i * self.batch_size : (i + 1) * self.batch_size]
             for i in range(n_batches)

@@ -101,3 +101,71 @@ def test_export_roundtrip(tmp_path):
     np.testing.assert_allclose(
         np.asarray(out["y"]), np.tanh(np.asarray(x)) * 2.0, atol=1e-6
     )
+
+
+def test_cloud_train_workflow(tmp_path):
+    """--data-url stages records into the workdir, --train-url mirrors the
+    results out (the reference's ModelArts train_cloud.py roles), with the
+    staged input data excluded from the upload."""
+    import cv2
+
+    from minddet_tpu.data.coco import convert_coco_to_records
+    from minddet_tpu.train.train import main
+
+    # source "bucket": a directory of records (local paths share the same
+    # code path as gs://'s fsspec mirror)
+    src = tmp_path / "bucket"
+    src.mkdir()
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    rng = np.random.RandomState(0)
+    images, annotations = [], []
+    # >= batch_size images: the loader (correctly) refuses a shard smaller
+    # than one batch under drop_last
+    for i in range(8):
+        img = (rng.rand(64, 64, 3) * 255).astype(np.uint8)
+        cv2.imwrite(str(img_dir / f"{i}.jpg"), img)
+        images.append({"id": i + 1, "file_name": f"{i}.jpg",
+                       "height": 64, "width": 64})
+        annotations.append({"id": i + 1, "image_id": i + 1,
+                            "bbox": [8.0, 8.0, 20.0, 20.0],
+                            "category_id": 1, "iscrowd": 0, "area": 400.0})
+    ann = tmp_path / "ann.json"
+    ann.write_text(json.dumps({
+        "images": images, "annotations": annotations,
+        "categories": [{"id": 1, "name": "c1"}],
+    }))
+    convert_coco_to_records(str(ann), str(img_dir), str(src / "rec"))
+
+    cfgp = tmp_path / "cfg.yaml"
+    cfgp.write_text(
+        """
+model:
+  type: CenterNet
+  num_classes: 1
+  depth: 18
+  dcn: false
+data:
+  type: coco
+  records: 'rec-*.arrayrecord'
+  workers: 1
+train:
+  image_hw: [64, 64]
+  batch_size: 8
+  log_every: 1
+  save_every: 1000000
+  optimizer: {type: adam}
+  lr_schedule: {type: warmup_cosine, learning_rate: 1.0e-4, total_steps: 2}
+"""
+    )
+    workdir = tmp_path / "run"
+    dest = tmp_path / "results"
+    main([
+        "--config", str(cfgp), "--steps", "2", "--workdir", str(workdir),
+        "--data-url", str(src), "--train-url", str(dest),
+    ])
+    # staged locally and trained from the staged copy
+    assert list((workdir / "data").glob("rec-*.arrayrecord"))
+    # results mirrored out, staged data excluded
+    assert (dest / "metrics.jsonl").exists()
+    assert not (dest / "data").exists()

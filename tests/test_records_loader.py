@@ -107,3 +107,20 @@ def test_group_sampler_batches_are_group_pure():
     i0, i1 = s0.epoch_indices(1), s1.epoch_indices(1)
     assert len(i0) % 4 == 0 and len(i1) % 4 == 0
     assert len(i0) + len(i1) >= len(idx)
+
+
+def test_loader_refuses_empty_epoch():
+    """batch_size > shard size with drop_last must raise, not spin forever
+    (pre-fix: __iter__ looped empty epochs and next() hung silently)."""
+    from minddet_tpu.data.loader import DataLoader
+
+    class _DS:
+        def __len__(self):
+            return 2
+
+        def __getitem__(self, i):
+            return {"x": np.zeros(3, np.float32)}
+
+    dl = DataLoader(_DS(), batch_size=8, num_workers=1)
+    with pytest.raises(ValueError, match="fewer than batch_size"):
+        next(iter(dl))
