@@ -194,7 +194,10 @@ def bench_pointpillars_train() -> dict:
 
     BATCH, STEPS = 4, 10
     pcr = (0.0, -39.68, -3.0, 69.12, 39.68, 1.0)
-    model = PointPillars(num_classes=1, dtype=jnp.bfloat16)
+    # PP_S2D=1 flips the space-to-depth RPN layout for A/B measurement
+    # (tests pin output equality; only speed/executable size differ)
+    model = PointPillars(num_classes=1, dtype=jnp.bfloat16,
+                         rpn_space_to_depth=bool(os.environ.get("PP_S2D")))
     raw = next(synthetic_points_batches(BATCH, pcr, num_points=18000,
                                         max_gt=24))
     raw.pop("step", None)

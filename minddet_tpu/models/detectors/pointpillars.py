@@ -24,7 +24,7 @@ from minddet_tpu.models.losses import (
     weighted_smooth_l1,
     weighted_softmax_ce,
 )
-from minddet_tpu.models.necks.second_rpn import SECONDRPN
+from minddet_tpu.models.necks.second_rpn import SECONDRPN, space_to_depth
 from minddet_tpu.models.readers.pillar_encoder import (
     PillarFeatureNet,
     PointPillarsScatter,
@@ -114,6 +114,11 @@ class PointPillars(nn.Module):
     max_voxels: int = 16000
     max_points_per_voxel: int = 32
     anchor_area_threshold: float = 1.0
+    # scatter the canvas straight into space_to_depth layout and run block0
+    # as the equivalent 2x2 conv (see SECONDRPN.input_space_to_depth) — the
+    # VERDICT-r3 RPN data-formatting lever, checkpoint-compatible, A/B'd by
+    # flipping this flag
+    rpn_space_to_depth: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -127,6 +132,7 @@ class PointPillars(nn.Module):
             num_filters=self.rpn_filters,
             upsample_strides=self.rpn_up_strides,
             num_upsample_filters=self.rpn_up_filters,
+            input_space_to_depth=self.rpn_space_to_depth,
             dtype=self.dtype,
         )
         a = self.num_anchor_per_loc
@@ -167,6 +173,17 @@ class PointPillars(nn.Module):
         ones = jnp.ones(h.shape[:2] + (1,), h.dtype)
         rows = jnp.concatenate([h, ones], axis=-1)  # (B, N, C+1)
 
+        idx = sv.canvas_idx
+        if self.rpn_space_to_depth:
+            # scatter STRAIGHT into space_to_depth layout: pillar (y, x) ->
+            # flat row block*(4) + sub, so the reshape to
+            # (ny/2, nx/2, 4*(C+1)) is free (row order == (block, sub)).
+            # The OOB sentinel ny*nx maps to itself (y=ny even -> block
+            # (ny/2)*(nx/2), sub 0).
+            y, x_ = idx // self.grid_nx, idx % self.grid_nx
+            idx = ((y // 2) * (self.grid_nx // 2) + x_ // 2) * 4 + (
+                (y % 2) * 2 + x_ % 2)
+
         def scatter_one(rows_i, idx_i):
             flat = jnp.zeros(
                 (self.grid_ny * self.grid_nx, rows_i.shape[-1]),
@@ -183,12 +200,27 @@ class PointPillars(nn.Module):
             return flat.at[idx_i].set(rows_i, mode="drop",
                                       unique_indices=True)
 
-        flat = jax.vmap(scatter_one)(rows, sv.canvas_idx)
-        full = flat.reshape(rows.shape[0], self.grid_ny, self.grid_nx, -1)
+        flat = jax.vmap(scatter_one)(rows, idx)
+        b = rows.shape[0]
+        if self.rpn_space_to_depth:
+            sub = flat.reshape(b, self.grid_ny // 2, self.grid_nx // 2, 4, -1)
+            canvas = sub[..., :-1].reshape(
+                b, self.grid_ny // 2, self.grid_nx // 2, -1)  # (.., 4C)
+            # occupancy back at full resolution for the anchor-area mask
+            occ = sub[..., -1].reshape(
+                b, self.grid_ny // 2, self.grid_nx // 2, 2, 2)
+            occ = occ.transpose(0, 1, 3, 2, 4).reshape(
+                b, self.grid_ny, self.grid_nx)
+            return canvas, occ.astype(jnp.float32)
+        full = flat.reshape(b, self.grid_ny, self.grid_nx, -1)
         return full[..., :-1], full[..., -1].astype(jnp.float32)
 
     def _preds_from_canvas(self, canvas, train: bool):
         b = canvas.shape[0]
+        if self.rpn_space_to_depth and canvas.shape[1] == self.grid_ny:
+            # dense-path canvases arrive at full resolution; the stream path
+            # already scatters into the s2d layout
+            canvas = space_to_depth(canvas)
         x = self.rpn(canvas, train=train)  # (B, ny/2, nx/2, 384)
 
         if self.is_initializing():

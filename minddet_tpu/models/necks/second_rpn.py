@@ -30,13 +30,62 @@ _BN_MOMENTUM = 0.99
 _BN_EPS = 1e-3
 
 
+def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/2, W/2, 4C); sub-pixel (a, b) is channel block
+    a*2+b (the layout ``SECONDRPN(input_space_to_depth=True)`` consumes)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth`."""
+    b, h2, w2, c4 = x.shape
+    c = c4 // 4
+    x = x.reshape(b, h2, w2, 2, 2, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, h2 * 2, w2 * 2, c)
+
+
+def _s2d_kernel(w: jnp.ndarray) -> jnp.ndarray:
+    """3x3 stride-2 pad-1 conv kernel -> the equivalent 2x2 stride-1 kernel
+    over a space-to-depth input.
+
+    y[i,j] = sum_{u,v in 3x3} w[u,v] * x[2i+u-1, 2j+v-1]: row 2i+u-1 lives in
+    s2d block i-1+ki at sub-offset a with u+1 = 2ki+a, so a 2x2 kernel over
+    blocks (i-1+ki, j-1+kj) with padding [(1,0),(1,0)] reproduces the conv
+    exactly; the 7 of 16 (ki,kj,a,b) slots with no 3x3 tap stay zero. This is
+    the classic TPU space-to-depth conv transformation (usually applied to
+    conv0 of image nets), built at trace time from the UNCHANGED 3x3
+    parameters so checkpoints are unaffected.
+    """
+    kh, kw, c, f = w.shape
+    assert (kh, kw) == (3, 3)
+    w2 = jnp.zeros((2, 2, 4, c, f), w.dtype)
+    for u in range(3):
+        ki, a = divmod(u + 1, 2)
+        for v in range(3):
+            kj, b = divmod(v + 1, 2)
+            w2 = w2.at[ki, kj, a * 2 + b].set(w[u, v])
+    return w2.reshape(2, 2, 4 * c, f)
+
+
 @NECKS.register_module()
 class SECONDRPN(nn.Module):
+    """``input_space_to_depth``: the input arrives as space_to_depth(canvas)
+    (B, ny/2, nx/2, 4C) and block0's stride-2 down conv runs as the
+    equivalent 2x2 stride-1 conv (``_s2d_kernel``) — the canvas producer can
+    then scatter straight into the halved-resolution layout and the first
+    (largest-activation) conv reads lane-dense 4C channels. Parameters are
+    identical either way."""
+
     layer_nums: Sequence[int] = (3, 5, 5)
     layer_strides: Sequence[int] = (2, 2, 2)
     num_filters: Sequence[int] = (64, 128, 256)
     upsample_strides: Sequence[int] = (1, 2, 4)
     num_upsample_filters: Sequence[int] = (128, 128, 128)
+    input_space_to_depth: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -133,9 +182,26 @@ class SECONDRPN(nn.Module):
         return x
 
     def __call__(self, x, train: bool = False):
+        s2d = self.input_space_to_depth
+        if s2d:
+            assert self.layer_strides[0] == 2, "s2d needs a stride-2 block0"
+            if self.is_initializing():
+                # materialize block0's conv with its canonical (3,3,C,F)
+                # kernel: run the normal path on the reconstructed canvas
+                x = depth_to_space(x)
+                s2d = False
         ups = []
         for bi in range(len(self.layer_nums)):
-            x = self.down_convs[bi](x)
+            if bi == 0 and s2d:
+                k2 = _s2d_kernel(
+                    self.down_convs[0].variables["params"]["kernel"]
+                ).astype(self.dtype)
+                x = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), k2, (1, 1), [(1, 0), (1, 0)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            else:
+                x = self.down_convs[bi](x)
             x = nn.relu(self.down_bns[bi](x, use_running_average=not train))
             x = self._inner_block(x, self.inner[bi], train)
             u = self.up_convs[bi](x)
