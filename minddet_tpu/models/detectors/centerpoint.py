@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from minddet_tpu.core.registry import DETECTORS
 from minddet_tpu.models.heads.center_head import CenterHead
-from minddet_tpu.models.necks.second_rpn import SECONDRPN
+from minddet_tpu.models.necks.second_rpn import SECONDRPN, space_to_depth
 from minddet_tpu.models.readers.pillar_encoder import (
     PillarFeatureNet,
     PointPillarsScatter,
@@ -93,6 +93,10 @@ class CenterPoint(nn.Module):
     # max_voxel_num=[30000, 60000], gaussian_overlap=0.1, min_radius=2)
     max_voxels: int = 30000
     max_points_per_voxel: int = 20
+    # scatter the canvas straight into space_to_depth layout and run block0
+    # as the equivalent 2x2 conv (SECONDRPN.input_space_to_depth) — same
+    # checkpoint-compatible layout A/B as PointPillars.rpn_space_to_depth
+    rpn_space_to_depth: bool = False
     gaussian_overlap: float = 0.1
     min_radius: float = 2.0
     max_objs: int = 500
@@ -109,6 +113,7 @@ class CenterPoint(nn.Module):
             num_filters=self.rpn_filters,
             upsample_strides=self.rpn_up_strides,
             num_upsample_filters=self.rpn_up_filters,
+            input_space_to_depth=self.rpn_space_to_depth,
             dtype=self.dtype,
         )
         self.head = CenterHead(
@@ -130,6 +135,8 @@ class CenterPoint(nn.Module):
         )
         pillars = self.reader(feats, num_points, train=train)
         canvas = self.scatter(pillars, coords)
+        if self.rpn_space_to_depth:  # dense path: explicit layout convert
+            canvas = space_to_depth(canvas)
         x = self.rpn(canvas, train=train)
         return self.head(x, train=train)
 
@@ -150,6 +157,14 @@ class CenterPoint(nn.Module):
         # channel doubles as occupancy)
         ones = jnp.ones(h.shape[:2] + (1,), h.dtype)
         rows = jnp.concatenate([h, ones], axis=-1)
+        idx = sv.canvas_idx
+        if self.rpn_space_to_depth:
+            # scatter STRAIGHT into the s2d layout (see
+            # PointPillars._canvas_from_points); the OOB sentinel maps to
+            # itself
+            y, x_ = idx // self.grid_nx, idx % self.grid_nx
+            idx = ((y // 2) * (self.grid_nx // 2) + x_ // 2) * 4 + (
+                (y % 2) * 2 + x_ % 2)
 
         def scatter_one(rows_i, idx_i):
             # idx is the OOB sentinel (ny*nx) everywhere but each group's
@@ -162,8 +177,15 @@ class CenterPoint(nn.Module):
             return flat.at[idx_i].set(rows_i, mode="drop",
                                       unique_indices=True)
 
-        canvas = jax.vmap(scatter_one)(rows, sv.canvas_idx).reshape(
-            points.shape[0], self.grid_ny, self.grid_nx, -1)[..., :-1]
+        flat = jax.vmap(scatter_one)(rows, idx)
+        b = points.shape[0]
+        if self.rpn_space_to_depth:
+            sub = flat.reshape(b, self.grid_ny // 2, self.grid_nx // 2, 4, -1)
+            canvas = sub[..., :-1].reshape(
+                b, self.grid_ny // 2, self.grid_nx // 2, -1)
+        else:
+            canvas = flat.reshape(
+                b, self.grid_ny, self.grid_nx, -1)[..., :-1]
         x = self.rpn(canvas, train=train)
         return self.head(x, train=train)
 

@@ -103,3 +103,37 @@ def test_pointpillars_s2d_loss_and_predict_match():
                                np.asarray(o0["boxes"]), atol=1e-3)
     np.testing.assert_allclose(np.asarray(o1["scores"]),
                                np.asarray(o0["scores"]), atol=1e-4)
+
+
+def test_centerpoint_s2d_loss_matches():
+    from minddet_tpu.models.detectors.centerpoint import CenterPoint
+
+    kw = dict(
+        task_num_classes=(1, 2), grid_ny=64, grid_nx=64,
+        voxel_size=(0.4, 0.4, 8.0),
+        pc_range=(-12.8, -12.8, -5.0, 12.8, 12.8, 3.0),
+        max_voxels=512, max_points_per_voxel=8, max_objs=16,
+        rpn_filters=(16, 32, 64), rpn_up_filters=(16, 16, 16),
+    )
+    rng = np.random.RandomState(3)
+    batch = {
+        "points": jnp.asarray(np.concatenate(
+            [rng.uniform(-10, 10, (2, 500, 3)),
+             rng.uniform(0, 1, (2, 500, 2))], -1), jnp.float32),
+        "points_mask": jnp.ones((2, 500), bool),
+        "gt_boxes": jnp.asarray(
+            [[[1.0, 2.0, -0.5, 1.8, 4.2, 1.6, 0.5, -0.5, 0.3],
+              [-3.0, 4.0, -0.5, 0.6, 0.8, 1.7, 0.0, 0.0, -0.2]]] * 2,
+            jnp.float32),
+        "gt_classes": jnp.asarray([[1, 2]] * 2, jnp.int32),
+        "gt_mask": jnp.ones((2, 2), bool),
+    }
+    m0 = CenterPoint(**kw)
+    m1 = CenterPoint(rpn_space_to_depth=True, **kw)
+    variables = m0.init({"params": jax.random.PRNGKey(0)}, batch,
+                        method=m0.loss_from_gt)
+    (l0, _), _ = m0.apply(variables, batch, method=m0.loss_from_gt,
+                          mutable=["batch_stats"])
+    (l1, _), _ = m1.apply(variables, batch, method=m1.loss_from_gt,
+                          mutable=["batch_stats"])
+    np.testing.assert_allclose(float(l1), float(l0), atol=1e-4, rtol=1e-5)
