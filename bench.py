@@ -479,6 +479,31 @@ _BENCHES = {
 # secondaries cheapest-first so a tight budget lands the most lines
 _SECONDARY_ORDER = ("decode_nms", "pointpillars_train", "centerpoint_train",
                     "yolov8s_infer", "faster_rcnn_infer")
+
+
+def _install_fake_benches() -> None:
+    """BENCH_FAKE='{name: {sleep: s, fail: bool}}' swaps every bench for a
+    stub — lets tests drive the parent orchestration (budgeting, one-process
+    core chunk, partial-stdout salvage, SIGTERM flush) without a device."""
+    spec = json.loads(os.environ["BENCH_FAKE"])
+
+    def make(name, metric):
+        cfg = spec.get(name, {})
+
+        def fake():
+            time.sleep(float(cfg.get("sleep", 0)))
+            if cfg.get("fail"):
+                raise RuntimeError(f"fake {name} failure")
+            return {"metric": metric, "value": 1.0, "unit": "fake",
+                    "vs_baseline": None}
+
+        return fake
+
+    for metric, name in _METRIC_TO_NAME.items():
+        est = spec.get(name, {}).get("est")
+        old = _BENCHES[name]
+        _BENCHES[name] = (make(name, metric),
+                          est or old[1], est or old[2])
 # the one-process core chunk: headline first, then the two metrics
 # VERDICT r3 item 1 requires in the driver capture
 _CORE_SEQ = ("centernet_train", "decode_nms", "pointpillars_train")
@@ -496,7 +521,8 @@ def _run_seq(names) -> None:
     """Child mode: run benches sequentially in ONE process (one python/jax/
     tunnel startup for all of them) and print each JSON line AS IT LANDS, so
     a mid-run kill loses only the unfinished bench."""
-    _setup_cache()
+    if not os.environ.get("BENCH_FAKE"):
+        _setup_cache()
     for name in names:
         _phase(f"start {name}")
         try:
@@ -606,6 +632,8 @@ def main() -> None:
 
 
 if __name__ == "__main__":
+    if os.environ.get("BENCH_FAKE"):
+        _install_fake_benches()
     if len(sys.argv) >= 3 and sys.argv[1] in ("--one", "--seq"):
         _run_seq(sys.argv[2].split(","))
     else:

@@ -1,0 +1,64 @@
+"""Parent orchestration of bench.py driven with fake benches (BENCH_FAKE).
+
+The real benches need the TPU; the budgeting/salvage logic around them is
+what must not break unattended at round end: the one-process core chunk,
+immediate per-line printing, partial-stdout salvage when a chunk hits its
+cap, the bench_incomplete marker, and the headline-printed-LAST contract
+(the driver's parsed metric is the last JSON line).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+_BENCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
+
+
+_NAMES = ("centernet_train", "decode_nms", "pointpillars_train",
+          "centerpoint_train", "yolov8s_infer", "faster_rcnn_infer")
+
+
+def _run(budget, fake_spec, timeout=120):
+    env = dict(os.environ)
+    spec = {n: {"est": 2, **fake_spec.get(n, {})} for n in _NAMES}
+    env["BENCH_FAKE"] = json.dumps(spec)
+    env["BENCH_BUDGET_S"] = str(budget)
+    proc = subprocess.run([sys.executable, _BENCH], env=env,
+                          capture_output=True, text=True, timeout=timeout)
+    lines = [json.loads(ln) for ln in proc.stdout.strip().splitlines()]
+    return proc, lines
+
+
+def test_all_benches_land_and_headline_prints_last():
+    proc, lines = _run(120, {})
+    assert proc.returncode == 0
+    metrics = [ln["metric"] for ln in lines]
+    assert "bench_incomplete" not in metrics
+    assert metrics[-1] == "centernet_r18dcn_train_img_per_sec_per_chip"
+    assert len(set(metrics)) == 6
+
+
+def test_core_chunk_salvages_partials_when_capped():
+    # headline finishes instantly, decode sleeps past the budget: the core
+    # chunk gets killed but the headline's already-printed line is salvaged
+    # and the marker names what never ran
+    spec = {"decode_nms": {"sleep": 300}}
+    proc, lines = _run(12, spec, timeout=180)
+    metrics = [ln["metric"] for ln in lines]
+    assert proc.returncode == 0  # headline landed
+    assert metrics[-1] == "centernet_r18dcn_train_img_per_sec_per_chip"
+    marker = [ln for ln in lines if ln["metric"] == "bench_incomplete"]
+    assert marker and "decode_nms" in marker[0]["unit"]
+
+
+def test_failed_bench_does_not_stop_the_chunk():
+    spec = {"decode_nms": {"fail": True}}
+    proc, lines = _run(120, spec)
+    metrics = [ln["metric"] for ln in lines]
+    assert proc.returncode == 0
+    assert "pointpillars_train_samples_per_sec_per_chip" in metrics
+    marker = [ln for ln in lines if ln["metric"] == "bench_incomplete"]
+    assert marker and "decode_nms" in marker[0]["unit"]
+    assert metrics[-1] == "centernet_r18dcn_train_img_per_sec_per_chip"
