@@ -91,6 +91,74 @@ def _mfu_from_cost(cost, step_s: float):
     return round(flops / step_s / _peak_flops(), 4)
 
 
+def _pkg_fingerprint() -> str:
+    """sha256 over the package sources: any code change invalidates the
+    cached init pytrees below (conservative but always safe)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    pkg = os.path.join(_REPO, "minddet_tpu")
+    for root, _, files in sorted(os.walk(pkg)):
+        for f in sorted(files):
+            if f.endswith(".py"):
+                with open(os.path.join(root, f), "rb") as fh:
+                    h.update(fh.read())
+    return h.hexdigest()
+
+
+def _cached_init(name: str, make):
+    """Persist a bench's init pytree (variables/targets) in .jax_cache.
+
+    model.init TRACES the whole loss program on the single host core
+    (~45-65 s per heavy bench, measured) — at driver time that's pure
+    repeated work, so the materialized pytree is msgpack-cached next to the
+    compile cache (both persist in the working tree across rounds) and
+    reloaded in ~1-2 s. Keyed by a package-source fingerprint; any code
+    change falls back to a fresh init and rewrites the file.
+    """
+    import flax
+    import jax
+    import numpy as np
+
+    d = os.path.join(_REPO, ".jax_cache")
+    path = os.path.join(d, f"bench_init_{name}.msgpack")
+    fp = _pkg_fingerprint()
+    try:
+        with open(path, "rb") as f:
+            blob = flax.serialization.msgpack_restore(f.read())
+        if blob.get("fingerprint") == fp:
+            _phase(f"init cache hit ({name})")
+            return blob["tree"]
+    except Exception:
+        pass
+    def _canon(t):
+        # msgpack rejects tuples; lists/dicts of arrays round-trip
+        if isinstance(t, tuple):
+            return [_canon(x) for x in t]
+        if isinstance(t, list):
+            return [_canon(x) for x in t]
+        if isinstance(t, dict):
+            return {k: _canon(v) for k, v in t.items()}
+        return np.asarray(t)
+
+    tree = make()
+    # round-trip even the fresh path so container types (tuple vs list,
+    # FrozenDict vs dict) are canonical either way — otherwise the cached
+    # and fresh runs would produce DIFFERENT input pytrees and miss each
+    # other's compiled-executable cache entries
+    blob = flax.serialization.msgpack_serialize(
+        {"fingerprint": fp, "tree": _canon(
+            flax.serialization.to_state_dict(tree))})
+    _ = jax
+    try:
+        os.makedirs(d, exist_ok=True)
+        with open(path, "wb") as f:
+            f.write(blob)
+    except Exception:
+        pass
+    return flax.serialization.msgpack_restore(blob)["tree"]
+
+
 def bench_centernet_train() -> dict:
     import jax
     import jax.numpy as jnp
@@ -127,11 +195,17 @@ def bench_centernet_train() -> dict:
     # results — only the ONE fused train-step program touches the TPU.
     tx = adamw(5e-4, clip_global_norm=35.0)
     with jax.default_device(jax.devices("cpu")[0]):
-        variables = model.init(rng, jnp.asarray(image_np[:1]), train=False)
-        targets = centernet_targets_batch(
-            jnp.asarray(boxes), jnp.asarray(classes), jnp.asarray(mask),
-            ho, wo, NUM_CLASSES, 0.7,
-        )
+        def _make():
+            variables = model.init(rng, jnp.asarray(image_np[:1]),
+                                   train=False)
+            targets = centernet_targets_batch(
+                jnp.asarray(boxes), jnp.asarray(classes), jnp.asarray(mask),
+                ho, wo, NUM_CLASSES, 0.7,
+            )
+            return {"variables": variables, "targets": targets}
+
+        blob = _cached_init("centernet", _make)
+        variables, targets = blob["variables"], blob["targets"]
         state = TrainState.create(variables["params"],
                                   variables.get("batch_stats", {}), tx)
     _phase("cpu init done")
@@ -206,8 +280,11 @@ def bench_pointpillars_train() -> dict:
     with jax.default_device(jax.devices("cpu")[0]):
         cpu_batch = {k: jnp.asarray(v) for k, v in raw.items()}
         cpu_batch.update(model.anchor_set())
-        variables = model.init({"params": jax.random.PRNGKey(0)}, cpu_batch,
-                               method=model.loss_from_gt)
+        variables = _cached_init(
+            "pointpillars_s2d" if os.environ.get("PP_S2D")
+            else "pointpillars",
+            lambda: model.init({"params": jax.random.PRNGKey(0)}, cpu_batch,
+                               method=model.loss_from_gt))
         state = TrainState.create(variables["params"],
                                   variables.get("batch_stats", {}),
                                   adamw(2e-4))
@@ -274,9 +351,10 @@ def bench_centerpoint_train() -> dict:
     _phase("data ready")
     with jax.default_device(jax.devices("cpu")[0]):
         cpu_batch = {k: jnp.asarray(v) for k, v in raw.items()}
-        variables = model.init(
-            {"params": jax.random.PRNGKey(0)}, cpu_batch,
-            method=model.loss_from_gt)
+        variables = _cached_init(
+            "centerpoint",
+            lambda: model.init({"params": jax.random.PRNGKey(0)}, cpu_batch,
+                               method=model.loss_from_gt))
         state = TrainState.create(variables["params"],
                                   variables.get("batch_stats", {}),
                                   adamw(1e-3, clip_global_norm=35.0))

@@ -62,3 +62,39 @@ def test_failed_bench_does_not_stop_the_chunk():
     marker = [ln for ln in lines if ln["metric"] == "bench_incomplete"]
     assert marker and "decode_nms" in marker[0]["unit"]
     assert metrics[-1] == "centernet_r18dcn_train_img_per_sec_per_chip"
+
+
+def test_cached_init_roundtrip_and_invalidation(tmp_path, monkeypatch):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location("bench_mod", _BENCH)
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    import numpy as np
+
+    monkeypatch.setattr(bench, "_REPO", str(tmp_path))
+    (tmp_path / "minddet_tpu").mkdir()
+    src = tmp_path / "minddet_tpu" / "m.py"
+    src.write_text("x = 1\n")
+
+    calls = []
+
+    def make():
+        calls.append(1)
+        # tuple on purpose: the canonicalization must return the SAME
+        # container types on fresh and cached paths
+        return {"variables": {"params": {"w": np.ones((2, 3), np.float32)}},
+                "targets": (np.zeros(4, np.float32),)}
+
+    t1 = bench._cached_init("demo", make)
+    t2 = bench._cached_init("demo", make)
+    assert len(calls) == 1  # second call hit the cache
+    import jax
+
+    assert jax.tree_util.tree_structure(t1) == jax.tree_util.tree_structure(t2)
+    np.testing.assert_array_equal(t1["variables"]["params"]["w"],
+                                  t2["variables"]["params"]["w"])
+    # source change invalidates
+    src.write_text("x = 2\n")
+    bench._cached_init("demo", make)
+    assert len(calls) == 2
