@@ -689,6 +689,29 @@ def main() -> None:
     def remaining():
         return budget - (time.monotonic() - start)
 
+    # preflight: the device tunnel can be DOWN for hours (2026-08-17 outage:
+    # backend init hangs instead of erroring). A 75 s probe subprocess makes
+    # a dead-tunnel run fail fast with a self-explanatory marker instead of
+    # six children each hanging to their caps.
+    if os.environ.get("BENCH_FAKE"):
+        device_ok = True  # orchestration dry runs never touch the device
+    else:
+        try:
+            probe = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                capture_output=True, timeout=75, cwd=_REPO)
+            device_ok = probe.returncode == 0
+        except subprocess.TimeoutExpired:
+            device_ok = False
+    if not device_ok:
+        print(json.dumps({
+            "metric": "bench_device_unreachable", "value": 1,
+            "unit": "TPU backend init hung/failed in a 75s probe — tunnel "
+                    "down (see docs/STATUS.md 'TPU outage'); no benches run",
+            "vs_baseline": None,
+        }), flush=True)
+        _flush_and_exit()
+
     # core chunk: headline + the two VERDICT-required secondaries, one
     # process, essentially the whole budget (the child prints lines as they
     # finish, so a cap hit keeps whatever landed)
