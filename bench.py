@@ -91,6 +91,22 @@ def _mfu_from_cost(cost, step_s: float):
     return round(flops / step_s / _peak_flops(), 4)
 
 
+def _cost_analysis(lowered, compiled):
+    """flops dict for MFU. ``lowered.cost_analysis()`` returns None on the
+    axon backend; ``compiled.cost_analysis()`` works (dict, or a one-element
+    list of dicts on older jaxlibs)."""
+    for obj in (compiled, lowered):
+        try:
+            c = obj.cost_analysis()
+        except Exception:
+            continue
+        if isinstance(c, (list, tuple)):
+            c = c[0] if c else None
+        if isinstance(c, dict) and c.get("flops"):
+            return c
+    return {}
+
+
 def _pkg_fingerprint() -> str:
     """sha256 over the package sources: any code change invalidates the
     cached init pytrees below (conservative but always safe)."""
@@ -224,11 +240,8 @@ def bench_centernet_train() -> dict:
     step_fn = make_train_step(loss_apply, donate=True)
     lowered = step_fn.lower(state, batch)
     _phase("lowered")
-    try:
-        cost = lowered.cost_analysis()
-    except Exception:
-        cost = {}
     compiled = lowered.compile()
+    cost = _cost_analysis(lowered, compiled)
     _phase("compiled (cache hit = local)")
     state, metrics = compiled(state, batch)
     _sync(metrics["loss"])
@@ -301,11 +314,8 @@ def bench_pointpillars_train() -> dict:
     step_fn = make_train_step(loss_apply, donate=True)
     lowered = step_fn.lower(state, batch)
     _phase("lowered")
-    try:
-        cost = lowered.cost_analysis()
-    except Exception:
-        cost = {}
     compiled = lowered.compile()
+    cost = _cost_analysis(lowered, compiled)
     _phase("compiled (cache hit = local)")
     state, metrics = compiled(state, batch)
     _sync(metrics["loss"])
@@ -371,11 +381,8 @@ def bench_centerpoint_train() -> dict:
     step_fn = make_train_step(loss_apply, donate=True)
     lowered = step_fn.lower(state, batch)
     _phase("lowered")
-    try:
-        cost = lowered.cost_analysis()
-    except Exception:
-        cost = {}
     compiled = lowered.compile()
+    cost = _cost_analysis(lowered, compiled)
     _phase("compiled (cache hit = local)")
     state, metrics = compiled(state, batch)
     _sync(metrics["loss"])
