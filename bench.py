@@ -91,6 +91,20 @@ def _mfu_from_cost(cost, step_s: float):
     return round(flops / step_s / _peak_flops(), 4)
 
 
+def _analytic_cost(traced):
+    """Exact dot/conv flops from the jaxpr. XLA's cost_analysis counts a
+    lax.scan body ONCE, so the scanned-RPN programs under-report by ~2.3x
+    (r4 A/B: same model, 4.3% "MFU" scanned vs 9.6% unrolled); the jaxpr
+    walker multiplies by trip count (utils/flops.py)."""
+    try:
+        from minddet_tpu.utils.flops import traced_flops
+
+        f = traced_flops(traced)
+        return {"flops": f} if f > 0 else None
+    except Exception:
+        return None
+
+
 def _cost_analysis(lowered, compiled):
     """flops dict for MFU. ``lowered.cost_analysis()`` returns None on the
     axon backend; ``compiled.cost_analysis()`` works (dict, or a one-element
@@ -238,10 +252,11 @@ def bench_centernet_train() -> dict:
         )
 
     step_fn = make_train_step(loss_apply, donate=True)
-    lowered = step_fn.lower(state, batch)
+    traced = step_fn.trace(state, batch)
+    lowered = traced.lower()
     _phase("lowered")
     compiled = lowered.compile()
-    cost = _cost_analysis(lowered, compiled)
+    cost = _analytic_cost(traced) or _cost_analysis(lowered, compiled)
     _phase("compiled (cache hit = local)")
     state, metrics = compiled(state, batch)
     _sync(metrics["loss"])
@@ -283,8 +298,13 @@ def bench_pointpillars_train() -> dict:
     pcr = (0.0, -39.68, -3.0, 69.12, 39.68, 1.0)
     # PP_S2D=1 flips the space-to-depth RPN layout for A/B measurement
     # (tests pin output equality; only speed/executable size differ)
+    # defaults from the r4 A/B sweep (all measured end-to-end on the chip):
+    # s2d scatter+RPN 89.3 vs 85.8 samples/s; scanned inner blocks beat
+    # unrolled ones (85.2) AND load ~35 s faster at driver time. PP_S2D=0 /
+    # PP_UNROLL=1 flip them for re-measurement.
     model = PointPillars(num_classes=1, dtype=jnp.bfloat16,
-                         rpn_space_to_depth=bool(os.environ.get("PP_S2D")))
+                         rpn_space_to_depth=os.environ.get("PP_S2D", "1") != "0",
+                         rpn_scan_inner=not os.environ.get("PP_UNROLL"))
     raw = next(synthetic_points_batches(BATCH, pcr, num_points=18000,
                                         max_gt=24))
     raw.pop("step", None)
@@ -294,8 +314,8 @@ def bench_pointpillars_train() -> dict:
         cpu_batch = {k: jnp.asarray(v) for k, v in raw.items()}
         cpu_batch.update(model.anchor_set())
         variables = _cached_init(
-            "pointpillars_s2d" if os.environ.get("PP_S2D")
-            else "pointpillars",
+            "pointpillars" if os.environ.get("PP_S2D", "1") == "0"
+            else "pointpillars_s2d",
             lambda: model.init({"params": jax.random.PRNGKey(0)}, cpu_batch,
                                method=model.loss_from_gt))
         state = TrainState.create(variables["params"],
@@ -312,10 +332,11 @@ def bench_pointpillars_train() -> dict:
                            mutable=["batch_stats"])
 
     step_fn = make_train_step(loss_apply, donate=True)
-    lowered = step_fn.lower(state, batch)
+    traced = step_fn.trace(state, batch)
+    lowered = traced.lower()
     _phase("lowered")
     compiled = lowered.compile()
-    cost = _cost_analysis(lowered, compiled)
+    cost = _analytic_cost(traced) or _cost_analysis(lowered, compiled)
     _phase("compiled (cache hit = local)")
     state, metrics = compiled(state, batch)
     _sync(metrics["loss"])
@@ -379,10 +400,11 @@ def bench_centerpoint_train() -> dict:
                            mutable=["batch_stats"])
 
     step_fn = make_train_step(loss_apply, donate=True)
-    lowered = step_fn.lower(state, batch)
+    traced = step_fn.trace(state, batch)
+    lowered = traced.lower()
     _phase("lowered")
     compiled = lowered.compile()
-    cost = _cost_analysis(lowered, compiled)
+    cost = _analytic_cost(traced) or _cost_analysis(lowered, compiled)
     _phase("compiled (cache hit = local)")
     state, metrics = compiled(state, batch)
     _sync(metrics["loss"])

@@ -97,6 +97,10 @@ class CenterPoint(nn.Module):
     # as the equivalent 2x2 conv (SECONDRPN.input_space_to_depth) — same
     # checkpoint-compatible layout A/B as PointPillars.rpn_space_to_depth
     rpn_space_to_depth: bool = False
+    # trade: scanned inner RPN blocks compile a smaller executable; unrolled
+    # blocks avoid the trace-time weight stacking and its backward unstack
+    # (layout copies around every scan body)
+    rpn_scan_inner: bool = True
     gaussian_overlap: float = 0.1
     min_radius: float = 2.0
     max_objs: int = 500
@@ -114,6 +118,7 @@ class CenterPoint(nn.Module):
             upsample_strides=self.rpn_up_strides,
             num_upsample_filters=self.rpn_up_filters,
             input_space_to_depth=self.rpn_space_to_depth,
+            scan_inner=self.rpn_scan_inner,
             dtype=self.dtype,
         )
         self.head = CenterHead(

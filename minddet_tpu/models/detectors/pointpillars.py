@@ -46,7 +46,15 @@ from minddet_tpu.ops.voxelize import (
 
 
 def add_sin_difference(preds: jnp.ndarray, targets: jnp.ndarray):
-    """sin(a-b) trick on the yaw channel (pointpillars.py:101-107)."""
+    """sin(a-b) trick on the yaw channel (pointpillars.py:101-107).
+
+    PERF NOTE (r4, measured): leave the slice+concat form alone. A
+    "fused" where()-on-iota blend over the full (..., 7) tensors looked
+    cheaper on paper (no minor-dim concat) but measured 70.7 vs 89.3
+    samples/s end-to-end: the loss tensors' minor dim is 7, so keeping the
+    head layout runs every elementwise op at 7/128 lane occupancy — the
+    anchor-minor transposes XLA inserts around THIS concat are what buy the
+    loss chain full lanes."""
     rad_p = jnp.sin(preds[..., -1:]) * jnp.cos(targets[..., -1:])
     rad_t = jnp.cos(preds[..., -1:]) * jnp.sin(targets[..., -1:])
     return (
@@ -119,6 +127,10 @@ class PointPillars(nn.Module):
     # VERDICT-r3 RPN data-formatting lever, checkpoint-compatible, A/B'd by
     # flipping this flag
     rpn_space_to_depth: bool = False
+    # trade: scanned inner RPN blocks compile a smaller executable; unrolled
+    # blocks avoid the trace-time weight stacking and its backward unstack
+    # (layout copies around every scan body)
+    rpn_scan_inner: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -133,6 +145,7 @@ class PointPillars(nn.Module):
             upsample_strides=self.rpn_up_strides,
             num_upsample_filters=self.rpn_up_filters,
             input_space_to_depth=self.rpn_space_to_depth,
+            scan_inner=self.rpn_scan_inner,
             dtype=self.dtype,
         )
         a = self.num_anchor_per_loc

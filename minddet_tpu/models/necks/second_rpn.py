@@ -86,6 +86,7 @@ class SECONDRPN(nn.Module):
     upsample_strides: Sequence[int] = (1, 2, 4)
     num_upsample_filters: Sequence[int] = (128, 128, 128)
     input_space_to_depth: bool = False
+    scan_inner: bool = True
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -136,7 +137,7 @@ class SECONDRPN(nn.Module):
         variance, normalization in ``dtype``) and writes running-stat
         updates back into each layer's own ``batch_stats`` scope.
         """
-        if self.is_initializing() or len(layers) == 1:
+        if self.is_initializing() or not self.scan_inner or len(layers) == 1:
             for conv, bnm in layers:
                 x = nn.relu(bnm(conv(x), use_running_average=not train))
             return x

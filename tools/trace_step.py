@@ -38,7 +38,8 @@ def _build(model_name: str):
 
         pcr = (0.0, -39.68, -3.0, 69.12, 39.68, 1.0)
         model = PointPillars(num_classes=1, dtype=jnp.bfloat16,
-                             rpn_space_to_depth=bool(os.environ.get("PP_S2D")))
+                             rpn_space_to_depth=bool(os.environ.get("PP_S2D")),
+                             rpn_scan_inner=not os.environ.get("PP_UNROLL"))
         raw = next(synthetic_points_batches(4, pcr, num_points=18000,
                                             max_gt=24))
         raw.pop("step", None)
