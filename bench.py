@@ -566,22 +566,18 @@ def bench_faster_rcnn_infer() -> dict:
 
 
 # name -> (fn, cold-cache wall estimate s, warm-cache estimate s).
-# The axon tunnel pays ~10 s/MB to LOAD a compiled executable onto the
-# device even on a persistent-cache hit (measured 2026-08-17: the 26 MB
-# CenterNet train step syncs its first call after ~300 s with user-cpu
-# ~20 s — pure waiting; the 43 MB PointPillars step takes >480 s warm).
-# Warm estimates therefore reflect program SIZE, not compile time; under
-# the driver's 480 s budget the headline + decode land and the rest print
-# in the bench_incomplete marker. docs/STATUS.md records
-# standalone-measured values for the programs that cannot fit.
+# Warm numbers measured 2026-08-18 (the tunnel's executable-load cost
+# collapsed from ~10 s/MB in r3 to ~1-2.5 s/MB): centernet ~105 s (66 s of
+# that is loading the 26 MB step), decode ~7 s, pointpillars ~45 s,
+# centerpoint ~110 s, yolov8s ~70 s. Cold numbers include remote compiles.
 _HEADLINE = "centernet_train"
 _BENCHES = {
-    "centernet_train": (bench_centernet_train, 2100, 360),
-    "decode_nms": (bench_decode_nms_p50, 300, 80),
-    "pointpillars_train": (bench_pointpillars_train, 1900, 540),
-    "centerpoint_train": (bench_centerpoint_train, 2400, 700),
-    "yolov8s_infer": (bench_yolov8s_infer, 1200, 480),
-    "faster_rcnn_infer": (bench_faster_rcnn_infer, 3000, 2500),
+    "centernet_train": (bench_centernet_train, 2100, 130),
+    "decode_nms": (bench_decode_nms_p50, 300, 30),
+    "pointpillars_train": (bench_pointpillars_train, 1900, 70),
+    "centerpoint_train": (bench_centerpoint_train, 2400, 140),
+    "yolov8s_infer": (bench_yolov8s_infer, 1200, 90),
+    "faster_rcnn_infer": (bench_faster_rcnn_infer, 3000, 600),
 }
 # secondaries cheapest-first so a tight budget lands the most lines
 _SECONDARY_ORDER = ("decode_nms", "pointpillars_train", "centerpoint_train",
@@ -611,9 +607,10 @@ def _install_fake_benches() -> None:
         old = _BENCHES[name]
         _BENCHES[name] = (make(name, metric),
                           est or old[1], est or old[2])
-# the one-process core chunk: headline first, then the two metrics
-# VERDICT r3 item 1 requires in the driver capture
-_CORE_SEQ = ("centernet_train", "decode_nms", "pointpillars_train")
+# the one-process core chunk: headline first, then the metrics VERDICT r3
+# item 1 requires, then centerpoint (all four fit ~360 s warm, measured)
+_CORE_SEQ = ("centernet_train", "decode_nms", "pointpillars_train",
+             "centerpoint_train")
 _METRIC_TO_NAME = {
     "centernet_r18dcn_train_img_per_sec_per_chip": "centernet_train",
     "decode_rotated_nms_p50_ms": "decode_nms",

@@ -314,6 +314,12 @@ def bilinear_gather(
 def _resolve_impl(x, implementation):
     if implementation != "auto":
         return implementation
+    # an explicit jax.default_device(cpu) context (eager CPU init while the
+    # TPU is the primary backend, e.g. the bench children) must get the XLA
+    # path — Pallas only lowers for TPU (same guard as hat_sample._resolve)
+    dd = jax.config.jax_default_device
+    if dd is not None and getattr(dd, "platform", None) not in ("tpu", "axon"):
+        return "xla"
     hw, ch = x.shape[1], x.shape[2]
     vmem_need = hw * ch * 2 + _TILE_P * hw * 2
     on_tpu = any(d.platform in ("tpu", "axon") for d in jax.devices())

@@ -222,6 +222,11 @@ _pair_area_nm = _intersection_areas_batched
 
 
 def _on_tpu() -> bool:
+    # honor an explicit jax.default_device(cpu) context (eager CPU init
+    # while the TPU backend exists): Pallas only lowers for TPU
+    dd = jax.config.jax_default_device
+    if dd is not None and getattr(dd, "platform", None) not in ("tpu", "axon"):
+        return False
     return any(d.platform in ("tpu", "axon") for d in jax.devices())
 
 

@@ -137,3 +137,29 @@ def test_centerpoint_s2d_loss_matches():
     (l1, _), _ = m1.apply(variables, batch, method=m1.loss_from_gt,
                           mutable=["batch_stats"])
     np.testing.assert_allclose(float(l1), float(l0), atol=1e-4, rtol=1e-5)
+
+
+def test_rpn_unrolled_matches_scanned():
+    """rpn_scan_inner=False (r4 perf A/B lever) is a pure compilation-shape
+    change: identical outputs and batch-stats updates from the same params."""
+    kw = dict(layer_nums=(3, 2), layer_strides=(2, 2), num_filters=(8, 16),
+              upsample_strides=(1, 2), num_upsample_filters=(8, 8))
+    scanned = SECONDRPN(scan_inner=True, **kw)
+    unrolled = SECONDRPN(scan_inner=False, **kw)
+    x = jnp.asarray(np.random.RandomState(2).randn(2, 16, 24, 6), jnp.float32)
+    variables = scanned.init(jax.random.PRNGKey(0), x, train=False)
+
+    out_s = scanned.apply(variables, x, train=False)
+    out_u = unrolled.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_u), np.asarray(out_s),
+                               atol=2e-5, rtol=2e-5)
+    o1, m1 = scanned.apply(variables, x, train=True, mutable=["batch_stats"])
+    o2, m2 = unrolled.apply(variables, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               atol=2e-5, rtol=2e-5)
+    for (k1, s1), (k2, s2) in zip(
+            jax.tree_util.tree_leaves_with_path(m1),
+            jax.tree_util.tree_leaves_with_path(m2)):
+        assert k1 == k2
+        np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
+                                   atol=2e-5, rtol=2e-5)
