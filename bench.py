@@ -302,9 +302,12 @@ def bench_pointpillars_train() -> dict:
     # s2d scatter+RPN 89.3 vs 85.8 samples/s; scanned inner blocks beat
     # unrolled ones (85.2) AND load ~35 s faster at driver time. PP_S2D=0 /
     # PP_UNROLL=1 flip them for re-measurement.
-    model = PointPillars(num_classes=1, dtype=jnp.bfloat16,
-                         rpn_space_to_depth=os.environ.get("PP_S2D", "1") != "0",
-                         rpn_scan_inner=not os.environ.get("PP_UNROLL"))
+    model = PointPillars(
+        num_classes=1, dtype=jnp.bfloat16,
+        rpn_space_to_depth=os.environ.get("PP_S2D", "1") != "0",
+        rpn_scan_inner=not os.environ.get("PP_UNROLL"),
+        # PP_SCAN_MIN=4 unrolls just block0 (3 layers, largest activations)
+        rpn_scan_min_layers=int(os.environ.get("PP_SCAN_MIN", "2")))
     raw = next(synthetic_points_batches(BATCH, pcr, num_points=18000,
                                         max_gt=24))
     raw.pop("step", None)
@@ -374,7 +377,8 @@ def bench_centerpoint_train() -> dict:
 
     BATCH, STEPS = 4, 10
     pcr = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
-    model = CenterPoint(dtype=jnp.bfloat16)
+    model = CenterPoint(dtype=jnp.bfloat16,
+                        rpn_space_to_depth=bool(os.environ.get("CP_S2D")))
     raw = next(synthetic_points_batches(
         BATCH, pcr, num_points=120000, max_gt=64, num_classes=10,
         num_features=5, box_dim=9))
@@ -383,7 +387,7 @@ def bench_centerpoint_train() -> dict:
     with jax.default_device(jax.devices("cpu")[0]):
         cpu_batch = {k: jnp.asarray(v) for k, v in raw.items()}
         variables = _cached_init(
-            "centerpoint",
+            "centerpoint_s2d" if os.environ.get("CP_S2D") else "centerpoint",
             lambda: model.init({"params": jax.random.PRNGKey(0)}, cpu_batch,
                                method=model.loss_from_gt))
         state = TrainState.create(variables["params"],
@@ -523,7 +527,9 @@ def bench_yolov8s_infer() -> dict:
     image_np = np.random.RandomState(0).rand(1, 640, 640, 3).astype(np.float32)
     # eager init on CPU — each eager TPU dispatch pays a tunnel round trip
     with jax.default_device(jax.devices("cpu")[0]):
-        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(image_np))
+        variables = _cached_init(
+            "yolov8s",
+            lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(image_np)))
     dev = jax.devices()[0]
     variables = jax.device_put(variables, dev)
     image = jax.device_put(image_np, dev)
@@ -550,8 +556,10 @@ def bench_faster_rcnn_infer() -> dict:
     # init through predict (the ROI box head only materializes on that
     # path), eagerly on CPU — eager TPU dispatches are tunnel round trips
     with jax.default_device(jax.devices("cpu")[0]):
-        variables = model.init(jax.random.PRNGKey(0), jnp.asarray(image_np),
-                               method=model.predict)
+        variables = _cached_init(
+            "faster_rcnn",
+            lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(image_np),
+                               method=model.predict))
     dev = jax.devices()[0]
     variables = jax.device_put(variables, dev)
     image = jax.device_put(image_np, dev)
@@ -577,7 +585,9 @@ _BENCHES = {
     "pointpillars_train": (bench_pointpillars_train, 1900, 70),
     "centerpoint_train": (bench_centerpoint_train, 2400, 140),
     "yolov8s_infer": (bench_yolov8s_infer, 1200, 90),
-    "faster_rcnn_infer": (bench_faster_rcnn_infer, 3000, 600),
+    # rcnn warm: 185 s measured 2026-08-18 (09:42-09:45 child), most of it
+    # CPU-side eager predict-path init — now msgpack-cached like the others
+    "faster_rcnn_infer": (bench_faster_rcnn_infer, 3000, 160),
 }
 # secondaries cheapest-first so a tight budget lands the most lines
 _SECONDARY_ORDER = ("decode_nms", "pointpillars_train", "centerpoint_train",
@@ -748,8 +758,12 @@ def main() -> None:
             continue
         fn, est_cold, est_warm = _BENCHES[name]
         est = (est_cold, est_warm)[est_idx - 1]
-        cap = min(est * 2.5, remaining() - 5.0)
-        if cap < est * 0.8:
+        # +45 s: python/jax/tunnel startup is a flat per-child cost on top
+        # of the bench estimate (measured ~5 s bare import, ~30-40 s with a
+        # live tunnel); without it a small-est child gets a cap its own
+        # startup exceeds
+        cap = min(est * 2.5 + 45.0, remaining() - 5.0)
+        if cap < est * 0.8 + 10.0:
             print(f"bench budget low ({remaining():.0f}s left), skipping "
                   f"{name}", file=sys.stderr, flush=True)
             continue

@@ -101,6 +101,9 @@ class CenterPoint(nn.Module):
     # blocks avoid the trace-time weight stacking and its backward unstack
     # (layout copies around every scan body)
     rpn_scan_inner: bool = True
+    # unroll blocks shallower than this even when scanning (see
+    # SECONDRPN.scan_min_layers)
+    rpn_scan_min_layers: int = 2
     gaussian_overlap: float = 0.1
     min_radius: float = 2.0
     max_objs: int = 500
@@ -119,6 +122,7 @@ class CenterPoint(nn.Module):
             num_upsample_filters=self.rpn_up_filters,
             input_space_to_depth=self.rpn_space_to_depth,
             scan_inner=self.rpn_scan_inner,
+            scan_min_layers=self.rpn_scan_min_layers,
             dtype=self.dtype,
         )
         self.head = CenterHead(

@@ -131,6 +131,9 @@ class PointPillars(nn.Module):
     # blocks avoid the trace-time weight stacking and its backward unstack
     # (layout copies around every scan body)
     rpn_scan_inner: bool = True
+    # unroll blocks shallower than this even when scanning (see
+    # SECONDRPN.scan_min_layers)
+    rpn_scan_min_layers: int = 2
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -146,6 +149,7 @@ class PointPillars(nn.Module):
             num_upsample_filters=self.rpn_up_filters,
             input_space_to_depth=self.rpn_space_to_depth,
             scan_inner=self.rpn_scan_inner,
+            scan_min_layers=self.rpn_scan_min_layers,
             dtype=self.dtype,
         )
         a = self.num_anchor_per_loc

@@ -87,6 +87,11 @@ class SECONDRPN(nn.Module):
     num_upsample_filters: Sequence[int] = (128, 128, 128)
     input_space_to_depth: bool = False
     scan_inner: bool = True
+    # blocks with fewer inner layers than this unroll even when scanning:
+    # the scan's carry forces layout agreement at block boundaries, and for
+    # large-activation shallow blocks those boundary copies can cost more
+    # than the executable-size saving buys (r4 A/B lever, PP_SCAN_MIN)
+    scan_min_layers: int = 2
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -137,7 +142,8 @@ class SECONDRPN(nn.Module):
         variance, normalization in ``dtype``) and writes running-stat
         updates back into each layer's own ``batch_stats`` scope.
         """
-        if self.is_initializing() or not self.scan_inner or len(layers) == 1:
+        if (self.is_initializing() or not self.scan_inner
+                or len(layers) < max(2, self.scan_min_layers)):
             for conv, bnm in layers:
                 x = nn.relu(bnm(conv(x), use_running_average=not train))
             return x

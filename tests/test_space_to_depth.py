@@ -163,3 +163,20 @@ def test_rpn_unrolled_matches_scanned():
         assert k1 == k2
         np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
                                    atol=2e-5, rtol=2e-5)
+
+    # per-block threshold: block0 (3 layers) unrolls, block1 (2 layers)
+    # would scan at min=2 but unrolls at min=4 — either way outputs and
+    # batch-stats updates are identical to the fully scanned form
+    mixed = SECONDRPN(scan_inner=True, scan_min_layers=4, **kw)
+    out_m = mixed.apply(variables, x, train=False)
+    np.testing.assert_allclose(np.asarray(out_m), np.asarray(out_s),
+                               atol=2e-5, rtol=2e-5)
+    o3, m3 = mixed.apply(variables, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(o3), np.asarray(o1),
+                               atol=2e-5, rtol=2e-5)
+    for (k1, s1), (k3, s3) in zip(
+            jax.tree_util.tree_leaves_with_path(m1),
+            jax.tree_util.tree_leaves_with_path(m3)):
+        assert k1 == k3
+        np.testing.assert_allclose(np.asarray(s3), np.asarray(s1),
+                                   atol=2e-5, rtol=2e-5)

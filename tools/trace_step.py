@@ -33,13 +33,52 @@ def _build(model_name: str):
     from minddet_tpu.train.loop import TrainState, make_train_step
     from minddet_tpu.train.train import synthetic_points_batches
 
+    if model_name == "centernet":
+        import numpy as np
+
+        from minddet_tpu.models.detectors.centernet import CenterNet
+        from minddet_tpu.ops.targets import centernet_targets_batch
+
+        BATCH, RES, NC = 16, 512, 80
+        model = CenterNet(num_classes=NC, depth=18, dcn=True,
+                          dtype=jnp.bfloat16)
+        rs = np.random.RandomState(0)
+        ho = wo = RES // 4
+        image = rs.randn(BATCH, RES, RES, 3).astype(np.float32)
+        boxes = np.zeros((BATCH, 128, 4), np.float32)
+        classes = rs.randint(0, NC, (BATCH, 128)).astype(np.int32)
+        gmask = np.zeros((BATCH, 128), bool)
+        boxes[:, :8] = rs.uniform(4, 90, (BATCH, 8, 4))
+        boxes[:, :8, 2:] += boxes[:, :8, :2]
+        gmask[:, :8] = True
+        with jax.default_device(jax.devices("cpu")[0]):
+            targets = centernet_targets_batch(
+                jnp.asarray(boxes), jnp.asarray(classes), jnp.asarray(gmask),
+                ho, wo, NC, 0.7)
+            batch = {"image": jnp.asarray(image), "targets": targets}
+            variables = model.init(jax.random.PRNGKey(0),
+                                   jnp.asarray(image[:1]), train=False)
+            state = TrainState.create(variables["params"],
+                                      variables.get("batch_stats", {}),
+                                      adamw(5e-4, clip_global_norm=35.0))
+        dev = jax.devices()[0]
+        state = jax.device_put(state, dev)
+        batch = jax.device_put(batch, dev)
+
+        def loss_apply(vs, b, train=True):
+            return model.apply(vs, b["image"], b["targets"], train=train,
+                               method=model.loss, mutable=["batch_stats"])
+
+        return make_train_step(loss_apply, donate=True), state, batch
     if model_name == "pointpillars":
         from minddet_tpu.models.detectors.pointpillars import PointPillars
 
         pcr = (0.0, -39.68, -3.0, 69.12, 39.68, 1.0)
-        model = PointPillars(num_classes=1, dtype=jnp.bfloat16,
-                             rpn_space_to_depth=bool(os.environ.get("PP_S2D")),
-                             rpn_scan_inner=not os.environ.get("PP_UNROLL"))
+        model = PointPillars(
+            num_classes=1, dtype=jnp.bfloat16,
+            rpn_space_to_depth=os.environ.get("PP_S2D", "1") != "0",
+            rpn_scan_inner=not os.environ.get("PP_UNROLL"),
+            rpn_scan_min_layers=int(os.environ.get("PP_SCAN_MIN", "2")))
         raw = next(synthetic_points_batches(4, pcr, num_points=18000,
                                             max_gt=24))
         raw.pop("step", None)
@@ -49,7 +88,8 @@ def _build(model_name: str):
         from minddet_tpu.models.detectors.centerpoint import CenterPoint
 
         pcr = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
-        model = CenterPoint(dtype=jnp.bfloat16)
+        model = CenterPoint(dtype=jnp.bfloat16,
+                            rpn_space_to_depth=bool(os.environ.get("CP_S2D")))
         raw = next(synthetic_points_batches(4, pcr, num_points=120000,
                                             max_gt=64, num_classes=10,
                                             num_features=5, box_dim=9))
