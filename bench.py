@@ -294,7 +294,10 @@ def bench_pointpillars_train() -> dict:
     from minddet_tpu.train.loop import TrainState, make_train_step
     from minddet_tpu.train.train import synthetic_points_batches
 
-    BATCH, STEPS = 4, 10
+    # PP_BS overrides the per-chip batch for scaling A/Bs; the driver metric
+    # stays bs=4 — the reference's published 24-25 samples/s is bs=4/chip
+    # (BASELINE.md:15) and vs_baseline must compare like for like
+    BATCH, STEPS = int(os.environ.get("PP_BS", "4")), 10
     pcr = (0.0, -39.68, -3.0, 69.12, 39.68, 1.0)
     # PP_S2D=1 flips the space-to-depth RPN layout for A/B measurement
     # (tests pin output equality; only speed/executable size differ)
@@ -354,7 +357,7 @@ def bench_pointpillars_train() -> dict:
     return {
         "metric": "pointpillars_train_samples_per_sec_per_chip",
         "value": round(sps, 2),
-        "unit": "samples/s/chip (bs=4, 496x432 grid, 18k pts, fused "
+        "unit": f"samples/s/chip (bs={BATCH}, 496x432 grid, 18k pts, fused "
                 "voxelize+assign+train, bf16)",
         "vs_baseline": round(sps / BASELINE_PP_SAMPLES_PER_SEC, 3),
         "mfu": _mfu_from_cost(cost, dt / STEPS),

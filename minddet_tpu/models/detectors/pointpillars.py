@@ -40,6 +40,7 @@ from minddet_tpu.ops.box import limit_period, rbbox_to_near_bbox, second_box_dec
 from minddet_tpu.ops.nms import rotated_nms
 from minddet_tpu.ops.voxelize import (
     decorate_pillar_features,
+    scatter_stream_canvas_sorted,
     voxelize_batch,
     voxelize_stream_batch,
 )
@@ -134,6 +135,11 @@ class PointPillars(nn.Module):
     # unroll blocks shallower than this even when scanning (see
     # SECONDRPN.scan_min_layers)
     rpn_scan_min_layers: int = 2
+    # overflow drop order of the in-step voxelizer: "sorted" keeps the
+    # max_voxels lowest cell ids (one sort instead of two, sorted
+    # scatter/gather hints on the plain layout); "first_come" is
+    # reference-bit-exact under overflow (ops/voxelize.py docstring)
+    voxel_drop_order: str = "sorted"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -184,40 +190,55 @@ class PointPillars(nn.Module):
         sv = voxelize_stream_batch(
             points, points_mask, tuple(self.voxel_size), tuple(self.pc_range),
             self.max_voxels, self.max_points_per_voxel,
+            self.voxel_drop_order,
         )
         h = self.reader.stream(sv.feats, sv.keep, sv.first, sv.last,
                                train=train, bound=self.max_points_per_voxel)
         ones = jnp.ones(h.shape[:2] + (1,), h.dtype)
         rows = jnp.concatenate([h, ones], axis=-1)  # (B, N, C+1)
 
+        cells = self.grid_ny * self.grid_nx
         idx = sv.canvas_idx
-        if self.rpn_space_to_depth:
-            # scatter STRAIGHT into space_to_depth layout: pillar (y, x) ->
-            # flat row block*(4) + sub, so the reshape to
-            # (ny/2, nx/2, 4*(C+1)) is free (row order == (block, sub)).
-            # The OOB sentinel ny*nx maps to itself (y=ny even -> block
-            # (ny/2)*(nx/2), sub 0).
-            y, x_ = idx // self.grid_nx, idx % self.grid_nx
-            idx = ((y // 2) * (self.grid_nx // 2) + x_ // 2) * 4 + (
-                (y % 2) * 2 + x_ % 2)
+        if self.voxel_drop_order == "sorted" and not self.rpn_space_to_depth:
+            # sorted contract: idx is the PER-ROW cell id, nondecreasing;
+            # rows masked to each group's last kept row scatter-ADD so both
+            # the scatter and its backward gather ride the sorted-indices
+            # hint (ops/voxelize.py:scatter_stream_canvas_sorted). Occupancy
+            # still rides as the 65th channel (a separate 64-channel scatter
+            # compiles a ~5x slower kernel, round-3 trace).
+            rows = rows * sv.last[..., None].astype(rows.dtype)
+            flat = scatter_stream_canvas_sorted(rows, idx, cells)
+        else:
+            if self.voxel_drop_order == "sorted":
+                # sorted mode carries per-row ids; the .set scatter below
+                # needs the sentinel-except-last form
+                idx = jnp.where(sv.last, idx, cells)
+            if self.rpn_space_to_depth:
+                # scatter STRAIGHT into space_to_depth layout: pillar (y, x)
+                # -> flat row block*(4) + sub, so the reshape to
+                # (ny/2, nx/2, 4*(C+1)) is free (row order == (block, sub)).
+                # The OOB sentinel ny*nx maps to itself (y=ny even -> block
+                # (ny/2)*(nx/2), sub 0). The remap is not monotone, so the
+                # sorted-scatter fast path does not apply here.
+                y, x_ = idx // self.grid_nx, idx % self.grid_nx
+                idx = ((y // 2) * (self.grid_nx // 2) + x_ // 2) * 4 + (
+                    (y % 2) * 2 + x_ % 2)
 
-        def scatter_one(rows_i, idx_i):
-            flat = jnp.zeros(
-                (self.grid_ny * self.grid_nx, rows_i.shape[-1]),
-                rows_i.dtype,
-            )
-            # idx is the OOB sentinel (ny*nx) everywhere but each group's
-            # last KEPT row -> duplicates exist only among dropped updates
-            # (the voxelize invariant), so unique_indices is genuinely true.
-            # Occupancy rides as the 65th channel of THIS scatter: a
-            # separate 64-channel feature scatter compiles to a 5x slower
-            # kernel layout than the combined 65-wide one (round-3 trace:
-            # 5.1 ms vs 1.1 ms), dwarfing the cost of slicing the channel
-            # back off the canvas.
-            return flat.at[idx_i].set(rows_i, mode="drop",
-                                      unique_indices=True)
+            def scatter_one(rows_i, idx_i):
+                flat = jnp.zeros((cells, rows_i.shape[-1]), rows_i.dtype)
+                # idx is the OOB sentinel (ny*nx) everywhere but each
+                # group's last KEPT row -> duplicates exist only among
+                # dropped updates (the voxelize invariant), so
+                # unique_indices is genuinely true. Occupancy rides as the
+                # 65th channel of THIS scatter: a separate 64-channel
+                # feature scatter compiles to a 5x slower kernel layout
+                # than the combined 65-wide one (round-3 trace: 5.1 ms vs
+                # 1.1 ms), dwarfing the cost of slicing the channel back
+                # off the canvas.
+                return flat.at[idx_i].set(rows_i, mode="drop",
+                                          unique_indices=True)
 
-        flat = jax.vmap(scatter_one)(rows, idx)
+            flat = jax.vmap(scatter_one)(rows, idx)
         b = rows.shape[0]
         if self.rpn_space_to_depth:
             sub = flat.reshape(b, self.grid_ny // 2, self.grid_nx // 2, 4, -1)

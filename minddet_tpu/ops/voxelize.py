@@ -276,6 +276,19 @@ def seg_running_max(first: jnp.ndarray, x: jnp.ndarray, axis: int = 0,
     return out
 
 
+def _windowed_running_max(x: jnp.ndarray, bound: int) -> jnp.ndarray:
+    """Running max over (at least) the trailing ``bound`` elements: k
+    doubling shift+max levels cover a 2^k window. Exact running max for any
+    element whose true argmax lies within the window; elements further out
+    see the window max only."""
+    v = x
+    d = 1
+    while d < bound:
+        v = jnp.maximum(v, _shift(v, d, 0, x.dtype.type(-1)))
+        d *= 2
+    return v
+
+
 def voxelize_stream(
     points: jnp.ndarray,
     points_mask: jnp.ndarray,
@@ -283,6 +296,7 @@ def voxelize_stream(
     point_cloud_range: Tuple[float, float, float, float, float, float],
     max_voxels: int = 16000,
     max_points: int = 32,
+    drop_order: str = "first_come",
 ) -> StreamVoxels:
     """points (N, F) + mask -> decorated per-point stream (no voxel padding).
 
@@ -293,6 +307,20 @@ def voxelize_stream(
     (where a segmented running max holds the complete pillar feature) and is
     out of bounds everywhere else, so one `.at[canvas_idx].set` scatter of
     the finished features builds the pseudo-image.
+
+    ``drop_order`` picks which pillars drop when more than ``max_voxels``
+    cells are occupied (nothing else depends on it):
+      - "first_come": reference-exact (numba ``points_to_voxel`` keeps the
+        first ``max_voxels`` voxels in point order) — needs a second sort of
+        the whole stream by each group's first-appearance index.
+      - "sorted": keep the ``max_voxels`` lowest cell ids. ONE sort with
+        fewer ride-along operands (grid coords recomputed from the sorted
+        cell id), and ``canvas_idx`` comes out ASCENDING, so the consumer's
+        canvas scatter (and its transpose gather in backward) can carry
+        ``indices_are_sorted=True`` — measured 3.3 ms/step cheaper at
+        nuScenes scale (120k pts, tools/microbench_scatter.py). The TPU
+        detectors default to this; pass "first_come" for bit-parity with
+        reference overflow behavior.
     """
     n, f = points.shape
     vs = jnp.asarray(voxel_size, jnp.float32)
@@ -312,31 +340,46 @@ def voxelize_stream(
 
     pos = jnp.arange(n, dtype=jnp.int32)
     pcols = tuple(points[:, i] for i in range(f))
-    sorted1 = jax.lax.sort(
-        (vid, pos) + pcols + (g[:, 0], g[:, 1]), num_keys=1, is_stable=True
-    )
-    svid, order = sorted1[0], sorted1[1]
-    first = jnp.concatenate(
-        [jnp.ones((1,), bool), svid[1:] != svid[:-1]]
-    ) & (svid < big)
-    _, firstidx = jax.lax.associative_scan(
-        lambda a, b: (a[0] | b[0], jnp.where(b[0], b[1], a[1])),
-        (first, jnp.where(first, order, 0)),
-    )
-    firstidx = jnp.where(svid < big, firstidx, n)
-    sorted2 = jax.lax.sort(
-        (firstidx, svid) + sorted1[2:], num_keys=1, is_stable=True
-    )
-    svid = sorted2[1]
-    spoints = jnp.stack(sorted2[2 : 2 + f], axis=-1)
-    sgx, sgy = sorted2[2 + f], sorted2[3 + f]
+    if drop_order == "sorted":
+        # one sort; gx/gy recomputed from the sorted cell id instead of
+        # riding through the sort network (2 fewer of 9 operands), valid
+        # wherever svid < big — downstream already masks invalid rows
+        sorted1 = jax.lax.sort((vid,) + pcols, num_keys=1, is_stable=True)
+        svid = sorted1[0]
+        spoints = jnp.stack(sorted1[1 : 1 + f], axis=-1)
+        safe = jnp.minimum(svid, big - 1)
+        sgx = safe % nx
+        sgy = (safe // nx) % ny
+    else:
+        sorted1 = jax.lax.sort(
+            (vid, pos) + pcols + (g[:, 0], g[:, 1]), num_keys=1,
+            is_stable=True,
+        )
+        svid, order = sorted1[0], sorted1[1]
+        first = jnp.concatenate(
+            [jnp.ones((1,), bool), svid[1:] != svid[:-1]]
+        ) & (svid < big)
+        _, firstidx = jax.lax.associative_scan(
+            lambda a, b: (a[0] | b[0], jnp.where(b[0], b[1], a[1])),
+            (first, jnp.where(first, order, 0)),
+        )
+        firstidx = jnp.where(svid < big, firstidx, n)
+        sorted2 = jax.lax.sort(
+            (firstidx, svid) + sorted1[2:], num_keys=1, is_stable=True
+        )
+        svid = sorted2[1]
+        spoints = jnp.stack(sorted2[2 : 2 + f], axis=-1)
+        sgx, sgy = sorted2[2 + f], sorted2[3 + f]
     first = jnp.concatenate(
         [jnp.ones((1,), bool), svid[1:] != svid[:-1]]
     ) & (svid < big)
     slot = jnp.cumsum(first.astype(jnp.int32)) - 1
-    first_pos = jax.lax.associative_scan(
-        jnp.maximum, jnp.where(first, pos, -1)
-    )
+    # bounded running max suffices for ranks: a row within ``max_points`` of
+    # its group head sees the head's position exactly (kept rows all do);
+    # rows further out see -1 or a window max — either way rank comes out
+    # >= max_points and the row is dropped, which is the correct outcome
+    first_pos = _windowed_running_max(
+        jnp.where(first, pos, -1), max_points)
     rank = pos - first_pos
     keep = (svid < big) & (slot < max_voxels) & (rank < max_points)
 
@@ -365,14 +408,69 @@ def voxelize_stream(
     feats = feats * kf[:, None]
 
     lin = sgy * nx + sgx
-    canvas_idx = jnp.where(last, lin, ny * nx)
+    if drop_order == "sorted":
+        # per-ROW cell id, genuinely NONDECREASING (rows are sorted by cell
+        # id and invalid rows sort to the tail where they get the sentinel):
+        # consumers scatter-ADD rows masked to zero except each group's last
+        # via :func:`scatter_stream_canvas_sorted`, so both the scatter and
+        # its backward gather can carry indices_are_sorted=True. A
+        # last-row-only sentinel index (the first_come form) would NOT be
+        # sorted — the sentinel interleaves between groups.
+        canvas_idx = jnp.where(svid < big, lin, ny * nx)
+    else:
+        canvas_idx = jnp.where(last, lin, ny * nx)
     num_voxels = jnp.minimum(jnp.max(slot) + 1, max_voxels).astype(jnp.int32)
     return StreamVoxels(feats, keep, first, last, canvas_idx, num_voxels)
 
 
-voxelize_stream_batch = jax.vmap(
-    voxelize_stream, in_axes=(0, 0, None, None, None, None)
-)
+def voxelize_stream_batch(
+    points: jnp.ndarray,
+    points_mask: jnp.ndarray,
+    voxel_size: Tuple[float, float, float],
+    point_cloud_range: Tuple[float, float, float, float, float, float],
+    max_voxels: int = 16000,
+    max_points: int = 32,
+    drop_order: str = "first_come",
+) -> StreamVoxels:
+    """Batched :func:`voxelize_stream` (vmap over the leading axis)."""
+    return jax.vmap(
+        lambda p, m: voxelize_stream(p, m, voxel_size, point_cloud_range,
+                                     max_voxels, max_points, drop_order)
+    )(points, points_mask)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def scatter_stream_canvas_sorted(rows: jnp.ndarray, idx: jnp.ndarray,
+                                 num_cells: int) -> jnp.ndarray:
+    """(B, N, C) rows + NONDECREASING per-row cell ids -> (B, num_cells, C).
+
+    The drop_order="sorted" canvas builder: ``idx`` is each row's cell id
+    (sentinel ``num_cells`` only in the invalid tail — the voxelize_stream
+    sorted contract) and ``rows`` must be zeroed everywhere except each
+    group's LAST kept row, so the scatter-ADD of a whole group lands exactly
+    that row's (complete segmented-max) value. The custom VJP exists because
+    the stock scatter-add transpose drops ``indices_are_sorted`` from its
+    gather — here both directions carry the hint (worth ~3.3 ms/step at
+    nuScenes scale, tools/microbench_scatter.py).
+    """
+    def one(r, i):
+        flat = jnp.zeros((num_cells, r.shape[-1]), r.dtype)
+        return flat.at[i].add(r, mode="drop", indices_are_sorted=True)
+    return jax.vmap(one)(rows, idx)
+
+
+def _scatter_sorted_fwd(rows, idx, num_cells):
+    return scatter_stream_canvas_sorted(rows, idx, num_cells), idx
+
+
+def _scatter_sorted_bwd(num_cells, idx, g):
+    def one(gi, ii):
+        return gi.at[ii].get(mode="fill", fill_value=0,
+                             indices_are_sorted=True)
+    return jax.vmap(one)(g, idx), None
+
+
+scatter_stream_canvas_sorted.defvjp(_scatter_sorted_fwd, _scatter_sorted_bwd)
 
 
 def decorate_pillar_features(

@@ -288,3 +288,87 @@ def test_bounded_seg_ops_match_bruteforce():
     # unbounded path unchanged (scan fallback)
     got_unb = np.asarray(seg_running_max(jnp.asarray(first), jnp.asarray(x)))
     np.testing.assert_allclose(got_unb, run_max, rtol=1e-6)
+
+
+def test_stream_sorted_drop_order_matches_when_no_overflow():
+    """drop_order="sorted" (TPU default in the detectors: one sort, sorted
+    scatter/gather hints) differs from "first_come" ONLY in which pillars
+    drop past max_voxels; with capacity for every pillar the resulting
+    canvas is identical. Exercises the real consumer contract of each mode:
+    first_come scatters last rows by sentinel-masked ids, sorted
+    scatter-ADDs last-masked rows at per-row ascending ids
+    (scatter_stream_canvas_sorted, incl. its custom VJP's sorted gather)."""
+    import jax
+
+    from minddet_tpu.ops.voxelize import (
+        scatter_stream_canvas_sorted,
+        seg_running_max,
+        voxelize_stream_batch,
+    )
+
+    rng = np.random.RandomState(7)
+    b, n = 2, 500
+    pts = np.stack([_rand_points(rng, n) for _ in range(b)])
+    mask = rng.rand(b, n) < 0.9
+    vs, pcr = (0.32, 0.32, 4.0), (0.0, -6.4, -3.0, 12.8, 6.4, 1.0)
+    nx, ny, _ = grid_size(pcr, vs)
+
+    def canvas(drop_order):
+        def build(pts_in):
+            sv = voxelize_stream_batch(pts_in, jnp.asarray(mask),
+                                       vs, pcr, 2000, 6, drop_order)
+            red = jax.vmap(lambda f, x: seg_running_max(f, x, bound=6))(
+                sv.first, sv.feats)
+            if drop_order == "sorted":
+                red = red * sv.last[..., None].astype(red.dtype)
+                return scatter_stream_canvas_sorted(
+                    red, sv.canvas_idx, ny * nx)
+
+            def one(rows_i, idx_i):
+                flat = jnp.zeros((ny * nx + 1, rows_i.shape[-1]),
+                                 rows_i.dtype)
+                return flat.at[idx_i].set(
+                    rows_i, mode="drop", unique_indices=True)[:-1]
+
+            return jax.vmap(one)(red, sv.canvas_idx)
+
+        out = build(jnp.asarray(pts))
+        # drive the custom VJP too: d(sum(canvas^2))/d(points) must agree
+        g = jax.grad(lambda p: jnp.sum(build(p) ** 2))(jnp.asarray(pts))
+        return np.asarray(out), np.asarray(g)
+
+    c_s, g_s = canvas("sorted")
+    c_f, g_f = canvas("first_come")
+    np.testing.assert_allclose(c_s, c_f, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(g_s, g_f, rtol=1e-5, atol=1e-5)
+
+
+def test_stream_sorted_drop_order_overflow_keeps_lowest_ids():
+    """Past max_voxels, sorted mode keeps the lowest cell ids (first_come
+    keeps first-appearance order — the reference numba semantic), and the
+    sorted mode's per-row canvas_idx comes out NONDECREASING (the
+    indices_are_sorted contract of scatter_stream_canvas_sorted)."""
+    from minddet_tpu.ops.voxelize import voxelize_stream
+
+    vs, pcr = (1.0, 1.0, 4.0), (0.0, 0.0, -3.0, 8.0, 8.0, 1.0)
+    nx, ny, _ = grid_size(pcr, vs)
+    # three pillars appearing in order: cell ids 50, 3, 20
+    pts = np.array([[2.5, 6.5, 0.0, 1.0],   # gy=6, gx=2 -> 50
+                    [3.5, 0.5, 0.0, 1.0],   # gy=0, gx=3 -> 3
+                    [4.5, 2.5, 0.0, 1.0]],  # gy=2, gx=4 -> 20
+                   np.float32)
+    mask = np.ones(3, bool)
+
+    sv_s = voxelize_stream(jnp.asarray(pts), jnp.asarray(mask), vs, pcr,
+                           2, 4, "sorted")
+    kept_s = sorted(int(i) for i, l in zip(np.asarray(sv_s.canvas_idx),
+                                           np.asarray(sv_s.last)) if l)
+    assert kept_s == [3, 20]  # lowest ids survive
+    idx_s = [int(i) for i in np.asarray(sv_s.canvas_idx)]
+    assert idx_s == sorted(idx_s)  # nondecreasing, sentinels in the tail
+
+    sv_f = voxelize_stream(jnp.asarray(pts), jnp.asarray(mask), vs, pcr,
+                           2, 4, "first_come")
+    kept_f = sorted(int(i) for i, l in zip(np.asarray(sv_f.canvas_idx),
+                                           np.asarray(sv_f.last)) if l)
+    assert kept_f == [3, 50]  # first-appearance order survives
