@@ -210,6 +210,10 @@ def test_stream_predict_matches_padded_path():
         task_num_classes=TASKS, grid_ny=NY, grid_nx=NX, voxel_size=VS,
         pc_range=PCR, rpn_filters=(32, 64, 128), rpn_up_filters=(32, 32, 32),
         out_size_factor=OSF, max_voxels=MAXV, max_points_per_voxel=MAXP,
+        # the padded comparator (voxelize_batch) drops overflow first-come;
+        # MAXV=128 < occupied cells here, so pin the stream path to the same
+        # order — sorted-vs-first-come equivalence is test_voxelize's job
+        voxel_drop_order="first_come",
     )
     rng = np.random.RandomState(7)
     b, n = 2, 350

@@ -178,6 +178,10 @@ def test_stream_predict_matches_padded_path():
         rpn_filters=(32, 64, 128), rpn_up_filters=(32, 32, 32),
         max_voxels=MAXV, max_points_per_voxel=MAXP,
         anchor_strides=((0.4, 0.4, 0.0),), anchor_offsets=((0.2, -3.0, -1.78),),
+        # the padded comparator (voxelize_batch) drops overflow first-come;
+        # MAXV can be < occupied cells here, so pin the stream path to the
+        # same order — sorted-vs-first-come parity is test_voxelize's job
+        voxel_drop_order="first_come",
     )
     rng = np.random.RandomState(5)
     b, n = 2, 350
