@@ -205,8 +205,10 @@ def bench_centernet_train() -> dict:
     rng = jax.random.PRNGKey(0)
     ho = wo = RES // 4
 
-    image_np = np.random.RandomState(0).randn(
-        BATCH, RES, RES, 3).astype(np.float32)
+    # only init's example input lives on host; the benched image is
+    # generated on device (see below)
+    image_np = np.random.RandomState(0).randn(1, RES, RES, 3).astype(
+        np.float32)
     rs = np.random.RandomState(1)
     o = 128
     boxes = np.zeros((BATCH, o, 4), np.float32)
@@ -219,31 +221,35 @@ def bench_centernet_train() -> dict:
         boxes[b, :n] = np.concatenate([xy, xy + wh], 1)
         mask[b, :n] = True
 
-    # init + target generation run as EAGER op-by-op programs; through the
-    # axon tunnel each eager dispatch pays a remote round trip (~185 s
-    # total measured), so run them on the CPU backend and device_put the
-    # results — only the ONE fused train-step program touches the TPU.
+    # init runs as an EAGER op-by-op program; through the axon tunnel each
+    # eager dispatch pays a remote round trip (~185 s total measured), so
+    # run it on the CPU backend. Everything ELSE materializes ON DEVICE in
+    # three tiny jitted programs: host->device transfer through the tunnel
+    # is the dominant cost of this child (~150 s measured for the old
+    # ~315 MB f32 device_put: params 60 + Adam zeros 120 + target maps 84 +
+    # image 50), so ship only the ~75 MB of params/BN stats and the
+    # few-KB box lists — opt-state zeros, Gaussian target maps and the
+    # random image are cheaper to COMPUTE remotely than to SEND.
     tx = adamw(5e-4, clip_global_norm=35.0)
     with jax.default_device(jax.devices("cpu")[0]):
-        def _make():
-            variables = model.init(rng, jnp.asarray(image_np[:1]),
-                                   train=False)
-            targets = centernet_targets_batch(
-                jnp.asarray(boxes), jnp.asarray(classes), jnp.asarray(mask),
-                ho, wo, NUM_CLASSES, 0.7,
-            )
-            return {"variables": variables, "targets": targets}
-
-        blob = _cached_init("centernet", _make)
-        variables, targets = blob["variables"], blob["targets"]
-        state = TrainState.create(variables["params"],
-                                  variables.get("batch_stats", {}), tx)
+        variables = _cached_init(
+            "centernet_vars",
+            lambda: model.init(rng, jnp.asarray(image_np[:1]), train=False))
     _phase("cpu init done")
     dev = jax.devices()[0]
-    state = jax.device_put(state, dev)
-    batch = jax.device_put(
-        {"image": jnp.asarray(image_np), "targets": targets}, dev)
-    _phase("device_put done")
+    params = jax.device_put(variables["params"], dev)
+    bstats = jax.device_put(variables.get("batch_stats", {}), dev)
+    small = jax.device_put(
+        {"boxes": boxes, "classes": classes, "mask": mask,
+         "key": jax.random.PRNGKey(0)}, dev)
+    state = jax.jit(lambda p, b: TrainState.create(p, b, tx))(params, bstats)
+    targets = jax.jit(lambda s: centernet_targets_batch(
+        s["boxes"], s["classes"], s["mask"], ho, wo, NUM_CLASSES, 0.7,
+    ))(small)
+    image = jax.jit(lambda s: jax.random.normal(
+        s["key"], (BATCH, RES, RES, 3), jnp.float32))(small)
+    batch = {"image": image, "targets": targets}
+    _phase("device_put done (params only; state/targets/image on device)")
 
     def loss_apply(variables, batch, train=True):
         return model.apply(
@@ -324,12 +330,14 @@ def bench_pointpillars_train() -> dict:
             else "pointpillars_s2d",
             lambda: model.init({"params": jax.random.PRNGKey(0)}, cpu_batch,
                                method=model.loss_from_gt))
-        state = TrainState.create(variables["params"],
-                                  variables.get("batch_stats", {}),
-                                  adamw(2e-4))
     _phase("cpu init done")
     dev = jax.devices()[0]
-    state = jax.device_put(state, dev)
+    tx = adamw(2e-4)
+    params = jax.device_put(variables["params"], dev)
+    bstats = jax.device_put(variables.get("batch_stats", {}), dev)
+    # Adam zeros materialize on device — host->device bytes are the
+    # bottleneck under the tunnel, not FLOPs
+    state = jax.jit(lambda p, b: TrainState.create(p, b, tx))(params, bstats)
     batch = jax.device_put(cpu_batch, dev)
     _phase("device_put done")
 
@@ -381,7 +389,8 @@ def bench_centerpoint_train() -> dict:
     BATCH, STEPS = 4, 10
     pcr = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     model = CenterPoint(dtype=jnp.bfloat16,
-                        rpn_space_to_depth=bool(os.environ.get("CP_S2D")))
+                        rpn_space_to_depth=bool(os.environ.get("CP_S2D")),
+                        rpn_scan_inner=not os.environ.get("CP_UNROLL"))
     raw = next(synthetic_points_batches(
         BATCH, pcr, num_points=120000, max_gt=64, num_classes=10,
         num_features=5, box_dim=9))
@@ -393,12 +402,13 @@ def bench_centerpoint_train() -> dict:
             "centerpoint_s2d" if os.environ.get("CP_S2D") else "centerpoint",
             lambda: model.init({"params": jax.random.PRNGKey(0)}, cpu_batch,
                                method=model.loss_from_gt))
-        state = TrainState.create(variables["params"],
-                                  variables.get("batch_stats", {}),
-                                  adamw(1e-3, clip_global_norm=35.0))
     _phase("cpu init done")
     dev = jax.devices()[0]
-    state = jax.device_put(state, dev)
+    tx = adamw(1e-3, clip_global_norm=35.0)
+    params = jax.device_put(variables["params"], dev)
+    bstats = jax.device_put(variables.get("batch_stats", {}), dev)
+    # Adam zeros materialize on device (see bench_pointpillars_train)
+    state = jax.jit(lambda p, b: TrainState.create(p, b, tx))(params, bstats)
     batch = jax.device_put(cpu_batch, dev)
     _phase("device_put done")
 
@@ -498,6 +508,20 @@ def bench_decode_nms_p50() -> dict:
     }
 
 
+def _bf16_params(variables):
+    """Cast f32 param leaves to bf16 before device_put: these inference
+    models compute in bf16 anyway, and host->device bytes through the
+    tunnel are the child's dominant cost (Faster R-CNN R50: ~160 MB f32)."""
+    import jax
+    import jax.numpy as jnp
+
+    def cast(x):
+        x = jnp.asarray(x)
+        return x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
+
+    return jax.tree_util.tree_map(cast, variables)
+
+
 def _bench_infer(model, variables, image, steps=30):
     """bs=1 PIPELINED inference throughput (not per-call latency): all steps
     are dispatched back-to-back and synced once, keeping the device queue
@@ -534,7 +558,7 @@ def bench_yolov8s_infer() -> dict:
             "yolov8s",
             lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(image_np)))
     dev = jax.devices()[0]
-    variables = jax.device_put(variables, dev)
+    variables = jax.device_put(_bf16_params(variables), dev)
     image = jax.device_put(image_np, dev)
     ips = _bench_infer(model, variables, image)
     return {
@@ -564,7 +588,7 @@ def bench_faster_rcnn_infer() -> dict:
             lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(image_np),
                                method=model.predict))
     dev = jax.devices()[0]
-    variables = jax.device_put(variables, dev)
+    variables = jax.device_put(_bf16_params(variables), dev)
     image = jax.device_put(image_np, dev)
     ips = _bench_infer(model, variables, image, steps=20)
     return {

@@ -25,7 +25,9 @@ from minddet_tpu.models.readers.pillar_encoder import (
 )
 from minddet_tpu.ops.targets import centerpoint_targets_batch
 from minddet_tpu.ops.voxelize import (
+    compact_stream_indices,
     decorate_pillar_features,
+    scatter_stream_canvas_compact,
     scatter_stream_canvas_sorted,
     voxelize_batch,
     voxelize_stream_batch,
@@ -175,13 +177,34 @@ class CenterPoint(nn.Module):
         rows = jnp.concatenate([h, ones], axis=-1)
         cells = self.grid_ny * self.grid_nx
         idx = sv.canvas_idx
-        if self.voxel_drop_order == "sorted" and not self.rpn_space_to_depth:
+        compact = (self.voxel_drop_order == "sorted"
+                   and points.shape[1] >= 2 * self.max_voxels)
+        if compact:
+            # compacted scatter: the heavy 65-channel scatter (and its
+            # backward gather, via the custom VJP) run over max_voxels slot
+            # rows instead of the whole point stream — 4x fewer rows at
+            # nuScenes scale (120k pts -> 30k pillars; measured +1% there,
+            # -4% at PointPillars' 18k pts -> 16k pillars, hence the 2x
+            # stream/cap gate). Cell ids stay ascending (sorted hint)
+            # unless remapped to the s2d layout.
+            slotsrc, cellid = jax.vmap(
+                lambda f, l, c: compact_stream_indices(
+                    f, l, c, self.max_voxels, cells)
+            )(sv.first, sv.last, idx)
+            if self.rpn_space_to_depth:
+                y, x_ = cellid // self.grid_nx, cellid % self.grid_nx
+                s2d_id = ((y // 2) * (self.grid_nx // 2) + x_ // 2) * 4 + (
+                    (y % 2) * 2 + x_ % 2)
+                cellid = jnp.where(cellid < cells, s2d_id, cells)
+            flat = scatter_stream_canvas_compact(
+                rows, slotsrc, cellid, cells,
+                sorted_cells=not self.rpn_space_to_depth)
+        elif (self.voxel_drop_order == "sorted"
+              and not self.rpn_space_to_depth):
             # sorted contract: idx is the PER-ROW cell id, nondecreasing;
             # rows masked to each group's last kept row scatter-ADD so both
             # the scatter and its backward gather ride the sorted-indices
             # hint — measured 3.3 ms/step at nuScenes scale
-            # (ops/voxelize.py:scatter_stream_canvas_sorted,
-            # tools/microbench_scatter.py)
             rows = rows * sv.last[..., None].astype(rows.dtype)
             flat = scatter_stream_canvas_sorted(rows, idx, cells)
         else:

@@ -40,6 +40,8 @@ from minddet_tpu.ops.box import limit_period, rbbox_to_near_bbox, second_box_dec
 from minddet_tpu.ops.nms import rotated_nms
 from minddet_tpu.ops.voxelize import (
     decorate_pillar_features,
+    compact_stream_indices,
+    scatter_stream_canvas_compact,
     scatter_stream_canvas_sorted,
     voxelize_batch,
     voxelize_stream_batch,
@@ -199,7 +201,30 @@ class PointPillars(nn.Module):
 
         cells = self.grid_ny * self.grid_nx
         idx = sv.canvas_idx
-        if self.voxel_drop_order == "sorted" and not self.rpn_space_to_depth:
+        compact = (self.voxel_drop_order == "sorted"
+                   and points.shape[1] >= 2 * self.max_voxels)
+        if compact:
+            # compacted scatter (see CenterPoint._preds_from_points_stream):
+            # the heavy 65-channel scatter + backward gather run over
+            # max_voxels slot rows instead of the whole point stream. Only
+            # pays when the stream is much longer than the pillar cap
+            # (measured -4% at KITTI's 18k pts -> 16k pillars, +1% at
+            # nuScenes' 120k -> 30k), hence the 2x gate. Occupancy rides as
+            # the 65th channel either way.
+            slotsrc, cellid = jax.vmap(
+                lambda f, l, c: compact_stream_indices(
+                    f, l, c, self.max_voxels, cells)
+            )(sv.first, sv.last, idx)
+            if self.rpn_space_to_depth:
+                y, x_ = cellid // self.grid_nx, cellid % self.grid_nx
+                s2d_id = ((y // 2) * (self.grid_nx // 2) + x_ // 2) * 4 + (
+                    (y % 2) * 2 + x_ % 2)
+                cellid = jnp.where(cellid < cells, s2d_id, cells)
+            flat = scatter_stream_canvas_compact(
+                rows, slotsrc, cellid, cells,
+                sorted_cells=not self.rpn_space_to_depth)
+        elif (self.voxel_drop_order == "sorted"
+              and not self.rpn_space_to_depth):
             # sorted contract: idx is the PER-ROW cell id, nondecreasing;
             # rows masked to each group's last kept row scatter-ADD so both
             # the scatter and its backward gather ride the sorted-indices

@@ -473,6 +473,96 @@ def _scatter_sorted_bwd(num_cells, idx, g):
 scatter_stream_canvas_sorted.defvjp(_scatter_sorted_fwd, _scatter_sorted_bwd)
 
 
+def compact_stream_indices(
+    first: jnp.ndarray,
+    last: jnp.ndarray,
+    canvas_idx: jnp.ndarray,
+    max_voxels: int,
+    num_cells: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-slot (source row, cell id) for the compacted canvas scatter.
+
+    Pure integer plumbing (one 1-channel scatter over the stream + two tiny
+    gathers) so the C-channel heavy lifting in
+    :func:`scatter_stream_canvas_compact` touches only ``max_voxels`` rows
+    instead of the whole N-point stream. Contract: the sorted drop order
+    (groups in ascending cell-id order, so slot ids are allocated
+    ascending and ``canvas_idx`` is nondecreasing).
+
+    Returns ``slotsrc`` (V,) int32 — the stream row holding each slot's last
+    kept point, ``n`` (= stream length) for empty slots, ascending — and
+    ``cellid`` (V,) int32 — each slot's canvas cell, ``num_cells`` sentinel
+    for empty slots, ascending.
+    """
+    n = first.shape[0]
+    slot = jnp.cumsum(first.astype(jnp.int32)) - 1
+    pos = jnp.arange(n, dtype=jnp.int32)
+    # one nonzero target per slot (its last kept row); non-last rows aim at
+    # the drop sentinel. Targets are NOT monotone (sentinels interleave), but
+    # this is a 1-channel scatter — cheap either way.
+    tgt = jnp.where(last, jnp.clip(slot, 0, max_voxels - 1), max_voxels)
+    slotsrc = jnp.full((max_voxels,), n, jnp.int32).at[tgt].set(
+        pos, mode="drop", unique_indices=True)
+    safe = jnp.minimum(slotsrc, n - 1)
+    cellid = jnp.where(slotsrc < n,
+                       canvas_idx.at[safe].get(mode="clip"), num_cells)
+    return slotsrc, cellid
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def scatter_stream_canvas_compact(
+    rows: jnp.ndarray,
+    slotsrc: jnp.ndarray,
+    cellid: jnp.ndarray,
+    num_cells: int,
+    sorted_cells: bool = True,
+) -> jnp.ndarray:
+    """(B, N, C) stream rows -> (B, num_cells, C) canvas via a compacted
+    (B, V, C) intermediate, V = max_voxels.
+
+    With N >> max_voxels (nuScenes: 120k points -> 30k pillars) the heavy
+    C-channel scatter and — through the custom VJP — its backward gather run
+    over V rows instead of N: gather each slot's finished pillar row at
+    ``slotsrc`` (ascending -> sorted gather), then scatter-SET the V rows at
+    ``cellid`` (unique by construction; ascending unless the caller remapped
+    cells, e.g. to the space-to-depth layout — pass ``sorted_cells=False``
+    then). Indices come from :func:`compact_stream_indices`; ``rows`` needs
+    NO last-row masking (non-last rows are never read), unlike
+    :func:`scatter_stream_canvas_sorted`.
+    """
+    def one(r, src, cid):
+        sel = r.at[src].get(mode="fill", fill_value=0,
+                            indices_are_sorted=True)
+        flat = jnp.zeros((num_cells, r.shape[-1]), r.dtype)
+        return flat.at[cid].set(sel, mode="drop", unique_indices=True,
+                                indices_are_sorted=sorted_cells)
+    return jax.vmap(one)(rows, slotsrc, cellid)
+
+
+def _scatter_compact_fwd(rows, slotsrc, cellid, num_cells, sorted_cells):
+    out = scatter_stream_canvas_compact(rows, slotsrc, cellid, num_cells,
+                                        sorted_cells)
+    return out, (slotsrc, cellid, rows.shape[1])
+
+
+def _scatter_compact_bwd(num_cells, sorted_cells, res, g):
+    slotsrc, cellid, n = res
+
+    def one(gi, src, cid):
+        gsel = gi.at[cid].get(mode="fill", fill_value=0,
+                              indices_are_sorted=sorted_cells)
+        grows = jnp.zeros((n, gi.shape[-1]), gi.dtype)
+        # src is ascending with the empty-slot sentinel n in the tail;
+        # duplicates exist only among dropped (sentinel) updates
+        return grows.at[src].add(gsel, mode="drop", unique_indices=True,
+                                 indices_are_sorted=True)
+    return jax.vmap(one)(g, slotsrc, cellid), None, None
+
+
+scatter_stream_canvas_compact.defvjp(_scatter_compact_fwd,
+                                     _scatter_compact_bwd)
+
+
 def decorate_pillar_features(
     voxels: jnp.ndarray,
     num_points: jnp.ndarray,

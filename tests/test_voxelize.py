@@ -372,3 +372,72 @@ def test_stream_sorted_drop_order_overflow_keeps_lowest_ids():
     kept_f = sorted(int(i) for i, l in zip(np.asarray(sv_f.canvas_idx),
                                            np.asarray(sv_f.last)) if l)
     assert kept_f == [3, 50]  # first-appearance order survives
+
+
+def test_compact_scatter_matches_sorted_scatter():
+    """scatter_stream_canvas_compact (gather last rows to max_voxels slots,
+    then scatter V rows) must reproduce scatter_stream_canvas_sorted
+    (scatter-ADD all N last-masked rows) exactly, forward AND through the
+    custom VJPs — including under max_voxels overflow, where empty tail
+    slots must contribute nothing. Also drives the unsorted-cells variant
+    (the detectors' space-to-depth remap)."""
+    import jax
+
+    from minddet_tpu.ops.voxelize import (
+        compact_stream_indices,
+        scatter_stream_canvas_compact,
+        scatter_stream_canvas_sorted,
+        seg_running_max,
+        voxelize_stream_batch,
+    )
+
+    rng = np.random.RandomState(11)
+    b, n = 2, 500
+    pts = np.stack([_rand_points(rng, n) for _ in range(b)])
+    mask = rng.rand(b, n) < 0.9
+    vs, pcr = (0.32, 0.32, 4.0), (0.0, -6.4, -3.0, 12.8, 6.4, 1.0)
+    nx, ny, _ = grid_size(pcr, vs)
+    cells = ny * nx
+
+    for max_voxels in (2000, 100):  # no-overflow and heavy-overflow
+        def build(pts_in, mode):
+            sv = voxelize_stream_batch(pts_in, jnp.asarray(mask),
+                                       vs, pcr, max_voxels, 6, "sorted")
+            red = jax.vmap(lambda f, x: seg_running_max(f, x, bound=6))(
+                sv.first, sv.feats)
+            if mode == "sorted":
+                masked = red * sv.last[..., None].astype(red.dtype)
+                return scatter_stream_canvas_sorted(
+                    masked, sv.canvas_idx, cells)
+            slotsrc, cellid = jax.vmap(
+                lambda f, l, c: compact_stream_indices(
+                    f, l, c, max_voxels, cells)
+            )(sv.first, sv.last, sv.canvas_idx)
+            if mode == "compact_remap":
+                # permute cells like the s2d remap does (not monotone);
+                # compare against the same permutation of the reference
+                y, x_ = cellid // nx, cellid % nx
+                rid = ((y // 2) * (nx // 2) + x_ // 2) * 4 + (
+                    (y % 2) * 2 + x_ % 2)
+                cellid = jnp.where(cellid < cells, rid, cells)
+                return scatter_stream_canvas_compact(
+                    red, slotsrc, cellid, cells, sorted_cells=False)
+            return scatter_stream_canvas_compact(
+                red, slotsrc, cellid, cells)
+
+        outs, grads = {}, {}
+        for mode in ("sorted", "compact", "compact_remap"):
+            outs[mode] = np.asarray(build(jnp.asarray(pts), mode))
+            grads[mode] = np.asarray(jax.grad(
+                lambda p, m=mode: jnp.sum(build(p, m) ** 2))(jnp.asarray(pts)))
+
+        np.testing.assert_array_equal(outs["sorted"], outs["compact"])
+        np.testing.assert_allclose(grads["sorted"], grads["compact"],
+                                   rtol=1e-6, atol=1e-6)
+        # the remapped variant is a permutation of rows: same multiset of
+        # values, identical grads (sum-of-squares is permutation-invariant)
+        np.testing.assert_array_equal(
+            np.sort(outs["compact"].reshape(b, -1), axis=1),
+            np.sort(outs["compact_remap"].reshape(b, -1), axis=1))
+        np.testing.assert_allclose(grads["compact"], grads["compact_remap"],
+                                   rtol=1e-6, atol=1e-6)
