@@ -25,7 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _build(model_name: str):
+def _build(model_name: str, batch_size: int = 4):
     import jax
     import jax.numpy as jnp
 
@@ -39,7 +39,7 @@ def _build(model_name: str):
         from minddet_tpu.models.detectors.centernet import CenterNet
         from minddet_tpu.ops.targets import centernet_targets_batch
 
-        BATCH, RES, NC = 16, 512, 80
+        BATCH, RES, NC = batch_size, 512, 80
         model = CenterNet(num_classes=NC, depth=18, dcn=True,
                           dtype=jnp.bfloat16)
         rs = np.random.RandomState(0)
@@ -79,8 +79,8 @@ def _build(model_name: str):
             rpn_space_to_depth=os.environ.get("PP_S2D", "1") != "0",
             rpn_scan_inner=not os.environ.get("PP_UNROLL"),
             rpn_scan_min_layers=int(os.environ.get("PP_SCAN_MIN", "2")))
-        raw = next(synthetic_points_batches(4, pcr, num_points=18000,
-                                            max_gt=24))
+        raw = next(synthetic_points_batches(batch_size, pcr,
+                                            num_points=18000, max_gt=24))
         raw.pop("step", None)
         method = model.loss_from_gt
         extra = model.anchor_set
@@ -90,7 +90,8 @@ def _build(model_name: str):
         pcr = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
         model = CenterPoint(dtype=jnp.bfloat16,
                             rpn_space_to_depth=bool(os.environ.get("CP_S2D")))
-        raw = next(synthetic_points_batches(4, pcr, num_points=120000,
+        raw = next(synthetic_points_batches(batch_size, pcr,
+                                            num_points=120000,
                                             max_gt=64, num_classes=10,
                                             num_features=5, box_dim=9))
         raw.pop("step", None)
@@ -147,6 +148,7 @@ def hlo_stats(trace_dir: str, top: int = 30):
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="pointpillars")
+    p.add_argument("--batch", type=int, default=4)
     p.add_argument("--steps", type=int, default=6)
     p.add_argument("--out", default=None)
     p.add_argument("--top", type=int, default=30)
@@ -162,7 +164,7 @@ def main(argv=None) -> None:
             "jax_compilation_cache_dir",
             os.path.join(os.path.dirname(os.path.dirname(
                 os.path.abspath(__file__))), ".jax_cache"))
-        step_fn, state, batch = _build(args.model)
+        step_fn, state, batch = _build(args.model, args.batch)
         state, metrics = step_fn(state, batch)
         _sync(metrics["loss"])
         print("warmed; tracing...", flush=True)
