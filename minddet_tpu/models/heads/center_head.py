@@ -27,44 +27,138 @@ from minddet_tpu.ops.decode import simple_topk
 from minddet_tpu.ops.nms import rotated_nms
 
 
+_BN_EPS = 1e-5  # flax BatchNorm default
+_BN_MOMENTUM = 0.9
+
+
 class SepHead(nn.Module):
     """Separate regression branches: each head is (num_conv-1) 3x3 convs(+BN)
     + ReLU, then a final 3x3 conv (hm branch bias-initialized to -2.19).
 
     Reference: ``center_head.py:SepHead:28-99`` with bn=True, final_kernel=3.
+
+    PERF (``fuse_branches``, default on): the per-branch path runs 6 small
+    64->64 convs per task that each re-read the shared feature map — 36
+    BW-bound kernels per CenterPoint step, 0.21 ms each fwd plus a 36-way
+    add chain in backward (r4 trace: the head was 42 ms of a 128 ms step).
+    When every branch is the standard (conv+BN+ReLU, out-conv) shape, the
+    branches fuse at TRACE time from the UNCHANGED per-branch parameters
+    (the PP fused-head / scanned-RPN trick, so checkpoints are unaffected):
+    one 64->(6*64) conv reads x once, one fused BN (batch stats are
+    per-channel, so concatenation preserves numerics exactly), and one
+    block-diagonal 3x3 out-conv produces all branch outputs.
     """
 
     heads: Dict[str, Tuple[int, int]]  # name -> (out_channels, num_conv)
     head_conv: int = 64
     init_bias: float = -2.19
     use_bn: bool = True
+    fuse_branches: bool = True
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
-        out = {}
+    def setup(self):
+        convs, bns, outs = {}, {}, {}
         for name, (classes, num_conv) in self.heads.items():
-            y = x
             for i in range(num_conv - 1):
-                y = nn.Conv(
+                convs[f"{name}:{i}"] = nn.Conv(
                     self.head_conv, (3, 3), padding=1, use_bias=True,
-                    dtype=self.dtype, name=f"{name}_conv{i}",
-                )(y)
+                    dtype=self.dtype, name=f"{name}_conv{i}")
                 if self.use_bn:
-                    y = nn.BatchNorm(
-                        use_running_average=not train, momentum=0.9,
-                        dtype=self.dtype, name=f"{name}_bn{i}",
-                    )(y)
-                y = nn.relu(y)
+                    bns[f"{name}:{i}"] = nn.BatchNorm(
+                        momentum=_BN_MOMENTUM, dtype=self.dtype,
+                        name=f"{name}_bn{i}")
             bias_init = (
                 nn.initializers.constant(self.init_bias)
                 if "hm" in name
                 else nn.initializers.zeros
             )
-            out[name] = nn.Conv(
-                classes, (3, 3), padding=1, use_bias=True, bias_init=bias_init,
-                dtype=self.dtype, name=f"{name}_out",
-            )(y)
+            outs[name] = nn.Conv(
+                classes, (3, 3), padding=1, use_bias=True,
+                bias_init=bias_init, dtype=self.dtype, name=f"{name}_out")
+        self.branch_convs, self.branch_bns, self.branch_outs = convs, bns, outs
+
+    def __call__(self, x, train: bool = False) -> Dict[str, jnp.ndarray]:
+        fusable = (
+            self.fuse_branches and not self.is_initializing()
+            and all(nc == 2 for _, nc in self.heads.values())
+        )
+        if not fusable:
+            out = {}
+            for name, (classes, num_conv) in self.heads.items():
+                y = x
+                for i in range(num_conv - 1):
+                    y = self.branch_convs[f"{name}:{i}"](y)
+                    if self.use_bn:
+                        y = self.branch_bns[f"{name}:{i}"](
+                            y, use_running_average=not train)
+                    y = nn.relu(y)
+                out[name] = self.branch_outs[name](y)
+            return out
+        return self._fused(x, train)
+
+    def _fused(self, x, train: bool) -> Dict[str, jnp.ndarray]:
+        names = list(self.heads.keys())
+        c = self.head_conv
+        conv_kw = dict(window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+                       dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        def p(mod, key):
+            return mod.variables["params"][key]
+
+        k0 = jnp.concatenate(
+            [p(self.branch_convs[f"{n}:0"], "kernel") for n in names], axis=-1
+        ).astype(self.dtype)
+        b0 = jnp.concatenate(
+            [p(self.branch_convs[f"{n}:0"], "bias") for n in names]
+        ).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(x.astype(self.dtype), k0,
+                                         **conv_kw) + b0
+        if self.use_bn:
+            bns = [self.branch_bns[f"{n}:0"] for n in names]
+            scale = jnp.concatenate([p(b, "scale") for b in bns])
+            bias = jnp.concatenate([p(b, "bias") for b in bns])
+            r_mean = jnp.concatenate(
+                [b.variables["batch_stats"]["mean"] for b in bns])
+            r_var = jnp.concatenate(
+                [b.variables["batch_stats"]["var"] for b in bns])
+            if train:
+                # flax BatchNorm numerics: f32 batch statistics, biased
+                # variance (E[x^2] - E[x]^2), normalization in ``dtype``
+                yf = y.astype(jnp.float32)
+                bm = jnp.mean(yf, axis=(0, 1, 2))
+                bv = jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(bm)
+                new_mean = _BN_MOMENTUM * r_mean + (1 - _BN_MOMENTUM) * bm
+                new_var = _BN_MOMENTUM * r_var + (1 - _BN_MOMENTUM) * bv
+                for j, b in enumerate(bns):
+                    b.put_variable("batch_stats", "mean",
+                                   jax.lax.dynamic_slice(new_mean, (j * c,),
+                                                         (c,)))
+                    b.put_variable("batch_stats", "var",
+                                   jax.lax.dynamic_slice(new_var, (j * c,),
+                                                         (c,)))
+            else:
+                bm, bv = r_mean, r_var
+            m = bm.astype(self.dtype)
+            v = bv.astype(self.dtype)
+            y = (y - m) * jax.lax.rsqrt(v + jnp.asarray(_BN_EPS, v.dtype))
+            y = y * scale.astype(self.dtype) + bias.astype(self.dtype)
+        y = nn.relu(y)
+
+        widths = [self.heads[n][0] for n in names]
+        ktot = jnp.zeros((3, 3, len(names) * c, sum(widths)), self.dtype)
+        off = 0
+        for j, n in enumerate(names):
+            kn = p(self.branch_outs[n], "kernel").astype(self.dtype)
+            ktot = jax.lax.dynamic_update_slice(ktot, kn, (0, 0, j * c, off))
+            off += widths[j]
+        btot = jnp.concatenate(
+            [p(self.branch_outs[n], "bias") for n in names]
+        ).astype(self.dtype)
+        z = jax.lax.conv_general_dilated(y, ktot, **conv_kw) + btot
+        out, off = {}, 0
+        for n, w in zip(names, widths):
+            out[n] = z[..., off : off + w]
+            off += w
         return out
 
 
@@ -83,6 +177,7 @@ class CenterHead(nn.Module):
     num_hm_conv: int = 2
     weight: float = 0.25  # loc loss weight
     code_weights: Sequence[float] = (1.0, 1.0, 1.0, 1.0, 1.0, 1.0, 0.2, 0.2, 1.0, 1.0)
+    fuse_branches: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -101,7 +196,8 @@ class CenterHead(nn.Module):
             heads = dict(self.common_heads)
             heads["hm"] = (ncls, self.num_hm_conv)
             outs.append(
-                SepHead(heads=heads, dtype=self.dtype, name=f"task{t}")(
+                SepHead(heads=heads, dtype=self.dtype,
+                        fuse_branches=self.fuse_branches, name=f"task{t}")(
                     x, train=train
                 )
             )

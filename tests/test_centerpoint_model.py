@@ -255,3 +255,56 @@ def test_stream_predict_matches_padded_path():
     # full score SETS agree to tolerance (order-free comparison)
     np.testing.assert_allclose(np.sort(s_s, 1), np.sort(s_p, 1),
                                rtol=1e-3, atol=1e-4)
+
+
+def test_sephead_fused_matches_per_branch():
+    """fuse_branches is a pure trace-time rewrite: identical outputs,
+    batch-stats updates, and parameter gradients vs the per-branch path."""
+    from minddet_tpu.models.heads.center_head import CenterHead
+
+    kw = dict(task_num_classes=(1, 2), share_conv_channel=16,
+              dtype=jnp.float32)
+    head_f = CenterHead(**kw)
+    head_u = CenterHead(fuse_branches=False, **kw)
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 24), jnp.float32)
+    variables = head_u.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_structure(
+        head_f.init(jax.random.PRNGKey(0), x)
+    ) == jax.tree_util.tree_structure(variables)
+
+    for train in (False, True):
+        out_u, m_u = head_u.apply(variables, x, train=train,
+                                  mutable=["batch_stats"])
+        out_f, m_f = head_f.apply(variables, x, train=train,
+                                  mutable=["batch_stats"])
+        for t in range(2):
+            assert set(out_f[t]) == set(out_u[t])
+            for k in out_u[t]:
+                np.testing.assert_allclose(np.asarray(out_f[t][k]),
+                                           np.asarray(out_u[t][k]),
+                                           atol=2e-5, rtol=2e-5)
+        for (p1, a), (p2, b) in zip(
+                jax.tree_util.tree_leaves_with_path(m_u),
+                jax.tree_util.tree_leaves_with_path(m_f)):
+            assert p1 == p2
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                       atol=2e-5, rtol=2e-5)
+
+    def loss(head):
+        def f(params):
+            outs = head.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])[0]
+            return sum(jnp.sum(o.astype(jnp.float32) ** 2)
+                       for t in outs for o in t.values())
+        return f
+
+    g_u = jax.grad(loss(head_u))(variables["params"])
+    g_f = jax.grad(loss(head_f))(variables["params"])
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_u),
+            jax.tree_util.tree_leaves_with_path(g_f)):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-3, rtol=1e-4)
