@@ -497,15 +497,23 @@ def compact_stream_indices(
     n = first.shape[0]
     slot = jnp.cumsum(first.astype(jnp.int32)) - 1
     pos = jnp.arange(n, dtype=jnp.int32)
-    # one nonzero target per slot (its last kept row); non-last rows aim at
-    # the drop sentinel. Targets are NOT monotone (sentinels interleave), but
-    # this is a 1-channel scatter — cheap either way.
-    tgt = jnp.where(last, jnp.clip(slot, 0, max_voxels - 1), max_voxels)
-    slotsrc = jnp.full((max_voxels,), n, jnp.int32).at[tgt].set(
-        pos, mode="drop", unique_indices=True)
-    safe = jnp.minimum(slotsrc, n - 1)
-    cellid = jnp.where(slotsrc < n,
-                       canvas_idx.at[safe].get(mode="clip"), num_cells)
+    # Last rows carry distinct slots 0..K-1 in stream order, so compaction
+    # is ONE 3-operand sort (key = slot-if-last) + a slice. The scatter
+    # formulation (.at[tgt].set over the stream) lowers to a ~4.6 ns/row
+    # serial loop on TPU — 4.4 ms/step at nuScenes bs=8, plus another
+    # 1.8 ms for the 1-wide cellid gather the sort's payload gets for free
+    # (r4 trace, docs/STATUS.md).
+    key = jnp.where(last, slot, max_voxels)
+    skey, spos, slin = jax.lax.sort((key, pos, canvas_idx), num_keys=1,
+                                    is_stable=True)
+    take = min(n, max_voxels)
+    got = skey[:take] < max_voxels
+    slotsrc = jnp.where(got, spos[:take], n)
+    cellid = jnp.where(got, slin[:take], num_cells)
+    if take < max_voxels:  # shorter stream than the voxel cap: pad empties
+        pad = (0, max_voxels - take)
+        slotsrc = jnp.pad(slotsrc, pad, constant_values=n)
+        cellid = jnp.pad(cellid, pad, constant_values=num_cells)
     return slotsrc, cellid
 
 
