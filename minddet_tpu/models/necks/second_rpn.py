@@ -71,6 +71,39 @@ def _s2d_kernel(w: jnp.ndarray) -> jnp.ndarray:
     return w2.reshape(2, 2, 4 * c, f)
 
 
+@jax.custom_vjp
+def _batch_stats_f32(y: jnp.ndarray):
+    """flax-BatchNorm batch statistics (f32 mean, biased f32 variance over
+    all but the channel axis) with a custom VJP so the f32 cast of ``y`` is
+    RECOMPUTED in backward instead of saved. Inside the scanned RPN body,
+    autodiff would otherwise stack a full f32 copy of every layer's
+    activation as a residual across the scan boundary (r4 trace:
+    f32[3,8,256,256,64] stacks, ~5 ms/step at CenterPoint bs=8); here the
+    residual is the bf16 ``y`` the scan already saves for the conv backward.
+    """
+    yf = y.astype(jnp.float32)
+    bm = jnp.mean(yf, axis=tuple(range(y.ndim - 1)))
+    bv = jnp.mean(jnp.square(yf), axis=tuple(range(y.ndim - 1)))
+    return bm, bv - jnp.square(bm)
+
+
+def _batch_stats_f32_fwd(y):
+    bm, bv = _batch_stats_f32(y)
+    return (bm, bv), (y, bm)
+
+
+def _batch_stats_f32_bwd(res, g):
+    y, bm = res
+    gm, gv = g
+    n = y.size // y.shape[-1]
+    yf = y.astype(jnp.float32)
+    gy = (gm + 2.0 * gv * (yf - bm)) / n
+    return (gy.astype(y.dtype),)
+
+
+_batch_stats_f32.defvjp(_batch_stats_f32_fwd, _batch_stats_f32_bwd)
+
+
 @NECKS.register_module()
 class SECONDRPN(nn.Module):
     """``input_space_to_depth``: the input arrives as space_to_depth(canvas)
@@ -165,9 +198,7 @@ class SECONDRPN(nn.Module):
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
             if train:
-                yf = y.astype(jnp.float32)
-                bm = jnp.mean(yf, axis=(0, 1, 2))
-                bv = jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(bm)
+                bm, bv = _batch_stats_f32(y)
                 stats = (bm, bv)
             else:
                 bm, bv = mu, va

@@ -164,6 +164,26 @@ def test_rpn_unrolled_matches_scanned():
         np.testing.assert_allclose(np.asarray(s2), np.asarray(s1),
                                    atol=2e-5, rtol=2e-5)
 
+    # parameter grads match too (the scan body's custom-VJP batch stats
+    # recompute the f32 cast instead of saving it — must be grad-exact)
+    def loss(rpn):
+        def f(params):
+            out = rpn.apply(
+                {"params": params,
+                 "batch_stats": variables["batch_stats"]},
+                x, train=True, mutable=["batch_stats"])[0]
+            return jnp.sum(out.astype(jnp.float32) ** 2)
+        return f
+
+    g_s = jax.grad(loss(scanned))(variables["params"])
+    g_u = jax.grad(loss(unrolled))(variables["params"])
+    for (p1, a), (p2, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_u),
+            jax.tree_util.tree_leaves_with_path(g_s)):
+        assert p1 == p2
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-3, rtol=2e-4)
+
     # per-block threshold: block0 (3 layers) unrolls, block1 (2 layers)
     # would scan at min=2 but unrolls at min=4 — either way outputs and
     # batch-stats updates are identical to the fully scanned form
