@@ -232,13 +232,23 @@ class CenterPoint(nn.Module):
 
             flat = jax.vmap(scatter_one)(rows, idx)
         b = points.shape[0]
+        # feed the RPN the UNSLICED 65-wide canvas: block0's kernel
+        # zero-extends over the throwaway channel (SECONDRPN), so the
+        # lane-strided 64-of-65 slice copy disappears (r4 trace: ~3 ms/step
+        # of canvas layout copies at bs=8). Init still slices so the
+        # parameter shapes stay canonical.
         if self.rpn_space_to_depth:
             sub = flat.reshape(b, self.grid_ny // 2, self.grid_nx // 2, 4, -1)
-            canvas = sub[..., :-1].reshape(
-                b, self.grid_ny // 2, self.grid_nx // 2, -1)
+            if self.is_initializing():
+                canvas = sub[..., :-1].reshape(
+                    b, self.grid_ny // 2, self.grid_nx // 2, -1)
+            else:
+                canvas = flat.reshape(
+                    b, self.grid_ny // 2, self.grid_nx // 2, -1)
         else:
-            canvas = flat.reshape(
-                b, self.grid_ny, self.grid_nx, -1)[..., :-1]
+            canvas = flat.reshape(b, self.grid_ny, self.grid_nx, -1)
+            if self.is_initializing():
+                canvas = canvas[..., :-1]
         x = self.rpn(canvas, train=train)
         return self.head(x, train=train)
 

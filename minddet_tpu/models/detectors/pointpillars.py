@@ -24,7 +24,11 @@ from minddet_tpu.models.losses import (
     weighted_smooth_l1,
     weighted_softmax_ce,
 )
-from minddet_tpu.models.necks.second_rpn import SECONDRPN, space_to_depth
+from minddet_tpu.models.necks.second_rpn import (
+    SECONDRPN,
+    depth_to_space,
+    space_to_depth,
+)
 from minddet_tpu.models.readers.pillar_encoder import (
     PillarFeatureNet,
     PointPillarsScatter,
@@ -265,20 +269,37 @@ class PointPillars(nn.Module):
 
             flat = jax.vmap(scatter_one)(rows, idx)
         b = rows.shape[0]
+        # occupancy = the ones channel, extracted as a LANE-DENSE reduction
+        # against a one-hot (reads the canvas on full lanes) instead of a
+        # minor-dim slice (r4 trace: the 1-of-65 dynamic-slice ran at
+        # 4.9 GB/s, ~2 ms/step at bs=8). The canvas itself feeds the RPN
+        # UNSLICED — block0's kernel zero-extends over the throwaway channel
+        # (SECONDRPN), so the 64-of-65 slice copy disappears too; init still
+        # slices so the parameter shapes stay canonical.
+        onehot = jnp.zeros((flat.shape[-1],), flat.dtype).at[-1].set(1)
         if self.rpn_space_to_depth:
             sub = flat.reshape(b, self.grid_ny // 2, self.grid_nx // 2, 4, -1)
-            canvas = sub[..., :-1].reshape(
-                b, self.grid_ny // 2, self.grid_nx // 2, -1)  # (.., 4C)
-            # occupancy back at full resolution for the anchor-area mask
-            occ = sub[..., -1].reshape(
-                b, self.grid_ny // 2, self.grid_nx // 2, 2, 2)
-            occ = occ.transpose(0, 1, 3, 2, 4).reshape(
-                b, self.grid_ny, self.grid_nx)
+            if self.is_initializing():
+                canvas = sub[..., :-1].reshape(
+                    b, self.grid_ny // 2, self.grid_nx // 2, -1)  # (.., 4C)
+            else:
+                canvas = flat.reshape(
+                    b, self.grid_ny // 2, self.grid_nx // 2, -1)  # (.., 4C+4)
+            occ_sub = jnp.einsum("bhwsc,c->bhws", sub, onehot)
+            occ = depth_to_space(occ_sub)[..., 0]  # (B, h2, w2, 4*1) -> full
             return canvas, occ.astype(jnp.float32)
         full = flat.reshape(b, self.grid_ny, self.grid_nx, -1)
-        return full[..., :-1], full[..., -1].astype(jnp.float32)
+        canvas = full[..., :-1] if self.is_initializing() else full
+        occ = jnp.einsum("bhwc,c->bhw", full, onehot)
+        return canvas, occ.astype(jnp.float32)
 
-    def _preds_from_canvas(self, canvas, train: bool):
+    def _preds_from_canvas(self, canvas, train: bool, cast_f32: bool = True):
+        """``cast_f32=False`` (the fused train path) keeps the head outputs
+        in the compute dtype: the loss helpers cast to f32 themselves inside
+        their elementwise+reduce fusions, so the materialized (B, A, C)
+        copies stay bf16 — half the bytes, and the standalone
+        convert_element_type passes (r4 trace: ~2.9 ms/step at bs=8)
+        disappear. predict/eval paths keep f32 outputs."""
         b = canvas.shape[0]
         if self.rpn_space_to_depth and canvas.shape[1] == self.grid_ny:
             # dense-path canvases arrive at full resolution; the stream path
@@ -320,13 +341,13 @@ class PointPillars(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         ) + bias
         c0 = widths[0]
+        dt = jnp.float32 if cast_f32 else y.dtype
         cls = y[..., :c0].reshape(b, -1, self.num_classes)
         box = y[..., c0 : c0 + widths[1]].reshape(b, -1, self.box_code_size)
-        out = {"box_preds": box.astype(jnp.float32),
-               "cls_preds": cls.astype(jnp.float32)}
+        out = {"box_preds": box.astype(dt), "cls_preds": cls.astype(dt)}
         if self.use_direction_classifier:
             out["dir_preds"] = (
-                y[..., c0 + widths[1] :].reshape(b, -1, 2).astype(jnp.float32)
+                y[..., c0 + widths[1] :].reshape(b, -1, 2).astype(dt)
             )
         return out
 
@@ -389,7 +410,7 @@ class PointPillars(nn.Module):
             canvas, occ = self._canvas_from_points(
                 batch["points"], batch["points_mask"], train)
             amask = jax.vmap(grid_fn.from_occ)(occ)
-            preds = self._preds_from_canvas(canvas, train)
+            preds = self._preds_from_canvas(canvas, train, cast_f32=False)
         else:  # irregular anchor layout: legacy dense path (needs coords)
             vox = voxelize_batch(
                 batch["points"], batch["points_mask"], tuple(self.voxel_size),
@@ -435,14 +456,18 @@ class PointPillars(nn.Module):
         cls_targets = jnp.where(cared, labels, 0)
         one_hot = jax.nn.one_hot(cls_targets, self.num_classes + 1)[..., 1:]
 
-        box_preds, reg_t = add_sin_difference(preds["box_preds"], reg_targets)
+        # preds may arrive in the compute dtype (cast_f32=False above); the
+        # f32 casts here fuse into the loss elementwise chains
+        box_preds, reg_t = add_sin_difference(
+            preds["box_preds"].astype(jnp.float32), reg_targets)
         loc_loss = weighted_smooth_l1(
             box_preds, reg_t, weights=reg_weights, sigma=self.smooth_l1_sigma
         )
         loc_loss_red = jnp.sum(loc_loss) / batch_size * self.loc_weight
 
         cls_loss = sigmoid_focal_loss(
-            preds["cls_preds"], one_hot, weights=cls_weights,
+            preds["cls_preds"].astype(jnp.float32), one_hot,
+            weights=cls_weights,
             gamma=self.focal_gamma, alpha=self.focal_alpha,
         )
         cls_loss_red = jnp.sum(cls_loss) / batch_size * self.cls_weight

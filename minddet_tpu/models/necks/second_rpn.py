@@ -18,7 +18,7 @@ fused-head trick in ``detectors/pointpillars.py:_preds_from_canvas``.
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any, Optional, Sequence
 
 import flax.linen as nn
 import jax
@@ -48,7 +48,8 @@ def depth_to_space(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, h2 * 2, w2 * 2, c)
 
 
-def _s2d_kernel(w: jnp.ndarray) -> jnp.ndarray:
+def _s2d_kernel(w: jnp.ndarray, sub_channels: Optional[int] = None
+                ) -> jnp.ndarray:
     """3x3 stride-2 pad-1 conv kernel -> the equivalent 2x2 stride-1 kernel
     over a space-to-depth input.
 
@@ -59,16 +60,24 @@ def _s2d_kernel(w: jnp.ndarray) -> jnp.ndarray:
     the classic TPU space-to-depth conv transformation (usually applied to
     conv0 of image nets), built at trace time from the UNCHANGED 3x3
     parameters so checkpoints are unaffected.
+
+    ``sub_channels`` > C zero-extends each sub-pixel block's input rows: the
+    stream voxelizers scatter a throwaway 65th channel with the features
+    (docs/STATUS.md), and consuming the raw 65-wide canvas here (extra rows
+    multiply by zero) is much cheaper than the lane-strided 64-of-65 slice
+    the detector otherwise pays (r4 trace: ~1.5 ms/step at PP bs=8).
     """
     kh, kw, c, f = w.shape
     assert (kh, kw) == (3, 3)
-    w2 = jnp.zeros((2, 2, 4, c, f), w.dtype)
+    sc = c if sub_channels is None else sub_channels
+    assert sc >= c
+    w2 = jnp.zeros((2, 2, 4, sc, f), w.dtype)
     for u in range(3):
         ki, a = divmod(u + 1, 2)
         for v in range(3):
             kj, b = divmod(v + 1, 2)
-            w2 = w2.at[ki, kj, a * 2 + b].set(w[u, v])
-    return w2.reshape(2, 2, 4 * c, f)
+            w2 = w2.at[ki, kj, a * 2 + b, :c, :].set(w[u, v])
+    return w2.reshape(2, 2, 4 * sc, f)
 
 
 @jax.custom_vjp
@@ -232,10 +241,27 @@ class SECONDRPN(nn.Module):
         for bi in range(len(self.layer_nums)):
             if bi == 0 and s2d:
                 k2 = _s2d_kernel(
-                    self.down_convs[0].variables["params"]["kernel"]
+                    self.down_convs[0].variables["params"]["kernel"],
+                    sub_channels=x.shape[-1] // 4,
                 ).astype(self.dtype)
                 x = jax.lax.conv_general_dilated(
                     x.astype(self.dtype), k2, (1, 1), [(1, 0), (1, 0)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+            elif bi == 0 and not self.is_initializing() and x.shape[-1] > (
+                self.down_convs[0].variables["params"]["kernel"].shape[2]
+            ):
+                # raw stream canvas with trailing throwaway channels (the
+                # 65-wide scatter, docs/STATUS.md): zero-extend block0's
+                # kernel input rows instead of paying the lane-strided
+                # C-of-C+1 slice on the canvas
+                k = self.down_convs[0].variables["params"]["kernel"]
+                kp = jnp.pad(
+                    k, ((0, 0), (0, 0), (0, x.shape[-1] - k.shape[2]), (0, 0))
+                ).astype(self.dtype)
+                s = self.layer_strides[0]
+                x = jax.lax.conv_general_dilated(
+                    x.astype(self.dtype), kp, (s, s), [(1, 1), (1, 1)],
                     dimension_numbers=("NHWC", "HWIO", "NHWC"),
                 )
             else:
