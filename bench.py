@@ -368,7 +368,7 @@ def bench_pointpillars_train() -> dict:
         "metric": "pointpillars_train_samples_per_sec_per_chip",
         "value": round(sps, 2),
         "unit": f"samples/s/chip (bs={BATCH}, 496x432 grid, 18k pts, fused "
-                "voxelize+assign+train, bf16; 91.0 at the reference's "
+                "voxelize+assign+train, bf16; 89.0 at the reference's "
                 "bs=4/chip)",
         "vs_baseline": round(sps / BASELINE_PP_SAMPLES_PER_SEC, 3),
         "mfu": _mfu_from_cost(cost, dt / STEPS),
