@@ -22,7 +22,7 @@ from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
-from minddet_tpu.ops.hat_sample import hat_sample_2d
+from minddet_tpu.ops.hat_sample import hat_sample_2d, hat_sample_2d_taps
 
 
 def deform_conv2d(
@@ -60,20 +60,34 @@ def deform_conv2d(
     base_x = jnp.broadcast_to(ox, (ho, wo)).reshape(1, p, 1) + tap_dx
 
     offs = offsets.reshape(b, p, k, 2)
-    ys = (base_y + offs[..., 0]).reshape(b, p * k)
-    xs = (base_x + offs[..., 1]).reshape(b, p * k)
-    scale = mask.reshape(b, p * k) if mask is not None else None
+    wmat = weights.reshape(k * cin, cout)
 
-    # fused sample*modulate in one kernel (hat_sample.py) — the unfused
-    # (B, P, K, Cin) mask multiply was one of the largest HBM costs in the
-    # CenterNet train step before folding it in
-    samp = hat_sample_2d(x, ys, xs, scale, implementation,
-                         interpret=interpret)  # (B, P*K, Cin)
+    if cin % 128 == 0 or interpret:
+        # tap-grouped sampler: coords (B, K, P), samples emitted directly in
+        # the (B, P, K*Cin) layout the weight matmul consumes — no relayout
+        # between the kernel and the contraction, fwd or bwd (the flat
+        # sampler's (B, P*K, Cin) -> (B, P, K*Cin) reshapes were ~5 ms/step
+        # of the CenterNet bs16 train step)
+        ys = jnp.swapaxes(base_y + offs[..., 0], 1, 2)  # (B, K, P)
+        xs = jnp.swapaxes(base_x + offs[..., 1], 1, 2)
+        scale = jnp.swapaxes(mask.reshape(b, p, k), 1, 2) \
+            if mask is not None else None
+        samp = hat_sample_2d_taps(x, ys, xs, scale, implementation,
+                                  interpret=interpret)  # (B, P, K*Cin)
+    else:
+        # fused sample*modulate in one kernel (hat_sample.py) — the unfused
+        # (B, P, K, Cin) mask multiply was one of the largest HBM costs in
+        # the CenterNet train step before folding it in
+        ys = (base_y + offs[..., 0]).reshape(b, p * k)
+        xs = (base_x + offs[..., 1]).reshape(b, p * k)
+        scale = mask.reshape(b, p * k) if mask is not None else None
+        samp = hat_sample_2d(x, ys, xs, scale, implementation,
+                             interpret=interpret)  # (B, P*K, Cin)
+        samp = samp.reshape(b, p, k * cin)
 
     # dtype follows the caller (the model passes bf16 weights/activations)
-    wmat = weights.reshape(k * cin, cout)
     out = jnp.dot(
-        samp.reshape(b, p, k * cin).astype(weights.dtype),
+        samp.astype(weights.dtype),
         wmat,
         preferred_element_type=jnp.float32,
     )

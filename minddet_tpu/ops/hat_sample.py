@@ -272,6 +272,141 @@ def _bwd_kernel(h, w, wrows, nwin, meta_ref, ys_ref, xs_ref, sc_ref, g_ref,
 
 
 # ---------------------------------------------------------------------------
+# Tap-grouped kernels (grid = (B, position tiles); K taps per position)
+#
+# The DCN consumer wants samples laid out (B, P, K*C) — position-major with
+# the K taps contiguous per position — because the weight contraction is
+# ``samp.reshape(B, P, K*C) @ W(K*C, Cout)``. The flat sampler above returns
+# (B, P*K, C); the relayout to (B, P, K*C) crosses the lane boundary and cost
+# ~5 ms/step of pure data formatting in the CenterNet bs16 train step (three
+# 64x64x128 DCN layers x fwd samp / bwd dsamp / weight-grad relayouts, round-4
+# trace). These kernels take tap-major coords (B, K, P) and write each tap's
+# (TILE_P, C) product straight into its lane slice of a (TILE_P, K*C) output
+# block, so the matmul consumes kernel output with no relayout at all.
+#
+# Window metadata is per (position tile, tap): each tap's samples sit within
+# ~1 image row of its positions, so per-tap windows keep the same spill slack
+# as the flat kernel's sample tiles while sharing one VMEM-resident image.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_taps_kernel(h, w, wrows, nwin, k_taps, c, meta_ref, ys_ref, xs_ref,
+                     sc_ref, x_ref, out_ref):
+    """meta (1, PT*K, 2) SMEM; ys/xs/sc (1, K, TP); x (1, HW, C);
+    out (1, TP, K*C)."""
+    pt = pl.program_id(1)
+    win = wrows * w
+    e = _row_expander(w, wrows)
+
+    for k in range(k_taps):
+        ys = ys_ref[0, k:k + 1, :]  # (1, TP)
+        xs = xs_ref[0, k:k + 1, :]
+        sc = sc_ref[0, k:k + 1, :].astype(jnp.float32)
+
+        def win_out(base_row, x_win, ys=ys, xs=xs, sc=sc):
+            hy, hx = _factors(ys, xs, base_row, w, wrows)
+            acc_t = _expand(e, hy, hx * sc, wrows)
+            return jax.lax.dot_general(
+                acc_t.astype(jnp.bfloat16), x_win.astype(jnp.bfloat16),
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (TP, C)
+
+        # ONE window loop per tap with a dynamic trip count: 1 iteration over
+        # the tile's own window when its samples fit (the overwhelmingly
+        # common case), nwin full-map iterations when they spill. Keeping a
+        # single `win_out` instantiation per tap matters: a statically
+        # unrolled per-tap sweep branch (9 taps x nwin bodies) bloated the
+        # kernel enough to cost ~2x in the backward (measured
+        # tools/microbench_hat_taps.py).
+        mrow = pt * k_taps + k
+        base = meta_ref[0, mrow, 0]
+        fits = meta_ref[0, mrow, 1]
+
+        def body(j, acc, base=base, fits=fits, win_out=win_out):
+            base_j = jnp.where(fits > 0, base, j * wrows)
+            r0 = pl.multiple_of(base_j * w, 8 if w % 8 == 0 else 1)
+            return acc + win_out(base_j.astype(jnp.float32),
+                                 x_ref[0, pl.ds(r0, win), :])
+
+        acc = jax.lax.fori_loop(
+            0, jnp.where(fits > 0, 1, nwin), body,
+            jnp.zeros((out_ref.shape[1], c), jnp.float32))
+        out_ref[0, :, k * c:(k + 1) * c] = acc.astype(out_ref.dtype)
+
+
+def _bwd_taps_kernel(h, w, wrows, nwin, k_taps, c, meta_ref, ys_ref, xs_ref,
+                     sc_ref, g_ref, x_ref, dx_ref, dys_ref, dxs_ref, dsc_ref,
+                     dxacc_ref):
+    """g (1, TP, K*C) — the dsamp layout the weight-matmul backward emits;
+    dys/dxs/dsc (1, K, TP) f32; dx flushed from an f32 scratch image per
+    batch element, as in the flat kernel."""
+    pt = pl.program_id(1)
+    npt = pl.num_programs(1)
+    win = wrows * w
+    e = _row_expander(w, wrows)
+    et = _row_grouper(w, wrows)
+    gc = _col_grouper(w, wrows)
+
+    @pl.when(pt == 0)
+    def _():
+        dxacc_ref[:] = jnp.zeros_like(dxacc_ref)
+
+    for k in range(k_taps):
+        ys = ys_ref[0, k:k + 1, :]
+        xs = xs_ref[0, k:k + 1, :]
+        sc = sc_ref[0, k:k + 1, :].astype(jnp.float32)
+        g = g_ref[0, :, k * c:(k + 1) * c].astype(jnp.bfloat16)  # (TP, C)
+
+        def win_grads(base_row, x_win, ys=ys, xs=xs, sc=sc, g=g):
+            hy, hx, dhy, dhx = _factors(ys, xs, base_row, w, wrows, grad=True)
+            hxe = pltpu.repeat(hx, wrows, axis=0)
+            hye = jnp.dot(e, hy.astype(jnp.bfloat16),
+                          preferred_element_type=jnp.float32)
+            acc_t = (hye * hxe * sc).astype(jnp.bfloat16)
+            dxw = jnp.dot(acc_t, g, preferred_element_type=jnp.float32)
+            m = jax.lax.dot_general(
+                x_win.astype(jnp.bfloat16), g,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s1 = jnp.dot(et, (m * hxe).astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+            s2 = jnp.dot(gc, (m * hye).astype(jnp.bfloat16),
+                         preferred_element_type=jnp.float32)
+            d_ys = jnp.sum(s1 * dhy, axis=0, keepdims=True)
+            d_xs = jnp.sum(s2 * dhx, axis=0, keepdims=True)
+            d_sc = jnp.sum(s1 * hy, axis=0, keepdims=True)
+            return dxw, d_ys, d_xs, d_sc
+
+        # single win_grads instantiation per tap, dynamic trip count (see the
+        # forward kernel's note — the unrolled sweep cost ~2x in backward)
+        mrow = pt * k_taps + k
+        base = meta_ref[0, mrow, 0]
+        fits = meta_ref[0, mrow, 1]
+
+        def body(j, carry, base=base, fits=fits, win_grads=win_grads):
+            a_ys, a_xs, a_sc = carry
+            base_j = jnp.where(fits > 0, base, j * wrows)
+            r0 = pl.multiple_of(base_j * w, 8 if w % 8 == 0 else 1)
+            dxw, d_ys, d_xs, d_sc = win_grads(base_j.astype(jnp.float32),
+                                              x_ref[0, pl.ds(r0, win), :])
+            dxacc_ref[pl.ds(r0, win), :] += dxw
+            return (a_ys + d_ys, a_xs + d_xs, a_sc + d_sc)
+
+        zero = jnp.zeros((1, dys_ref.shape[2]), jnp.float32)
+        a_ys, a_xs, a_sc = jax.lax.fori_loop(
+            0, jnp.where(fits > 0, 1, nwin), body, (zero, zero, zero))
+        dys_ref[0, k:k + 1, :] = a_ys * sc
+        dxs_ref[0, k:k + 1, :] = a_xs * sc
+        dsc_ref[0, k:k + 1, :] = a_sc
+
+    @pl.when(pt == npt - 1)
+    def _flush():
+        dx_ref[0] = dxacc_ref[:].astype(dx_ref.dtype)
+
+
+# ---------------------------------------------------------------------------
 # Host-side wrappers
 # ---------------------------------------------------------------------------
 
@@ -378,6 +513,171 @@ def _bwd_pallas(g, x, ys, xs, scale, plan, interpret=False):
         ),
     )(meta, row(ys), row(xs), row(scale), g, x)
     return dx, dys[:, 0, :p], dxs[:, 0, :p], dsc[:, 0, :p]
+
+
+# ---------------------------------------------------------------------------
+# Tap-grouped host wrappers
+# ---------------------------------------------------------------------------
+
+
+def _meta_taps(ys, pp, tp, h, wrows):
+    """(B, PT*K, 2) int32 [base_row, fits] per (position tile, tap)."""
+    b, k = ys.shape[0], ys.shape[1]
+    tiles = ys.reshape(b, k, pp // tp, tp)
+    lo = jnp.clip(jnp.floor(jnp.min(tiles, axis=3)), 0, h - 1).astype(jnp.int32)
+    hi = jnp.clip(jnp.floor(jnp.max(tiles, axis=3)) + 1, 0, h - 1).astype(jnp.int32)
+    base = jnp.minimum(lo, h - wrows)
+    fits = (hi < base + wrows).astype(jnp.int32)
+    if wrows >= h:
+        base = jnp.zeros_like(base)
+        fits = jnp.ones_like(fits)
+    # (B, K, PT) -> (B, PT, K) so the kernel indexes [pt * K + k]
+    return jnp.stack([base, fits], axis=-1).transpose(0, 2, 1, 3).reshape(
+        b, (pp // tp) * k, 2)
+
+
+def _prep_taps(ys, xs, scale, p):
+    tp = min(_TILE_P, _pad_to(p, 128))
+    pp = _pad_to(p, tp)
+    if pp != p:
+        pad = ((0, 0), (0, 0), (0, pp - p))
+        ys = jnp.pad(ys, pad, constant_values=-1e6)
+        xs = jnp.pad(xs, pad, constant_values=-1e6)
+        scale = jnp.pad(scale, pad)
+    return ys, xs, scale, tp, pp
+
+
+def _fwd_taps_pallas(x, ys, xs, scale, plan, interpret=False):
+    b, hw, c = x.shape
+    wrows, nwin, w = plan
+    h = hw // w
+    k, p = ys.shape[1], ys.shape[2]
+    ys, xs, scale, tp, pp = _prep_taps(ys, xs, scale, p)
+    meta = _meta_taps(ys, pp, tp, h, wrows)
+    tap_t = pl.BlockSpec((1, k, tp), lambda bi, pi: (bi, 0, pi),
+                         memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fwd_taps_kernel, h, w, wrows, nwin, k, c),
+        grid=(b, pp // tp),
+        in_specs=[
+            pl.BlockSpec((1, (pp // tp) * k, 2), lambda bi, pi: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            tap_t, tap_t, tap_t,
+            pl.BlockSpec((1, hw, c), lambda bi, pi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tp, k * c), lambda bi, pi: (bi, pi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, pp, k * c), x.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * pp * k * wrows * w * c,
+            bytes_accessed=b * (hw * c + pp * k * c) * 2, transcendentals=0,
+        ),
+    )(meta, ys, xs, scale, x)
+    return out[:, :p]
+
+
+def _bwd_taps_pallas(g, x, ys, xs, scale, plan, interpret=False):
+    b, hw, c = x.shape
+    wrows, nwin, w = plan
+    h = hw // w
+    k, p = ys.shape[1], ys.shape[2]
+    ys, xs, scale, tp, pp = _prep_taps(ys, xs, scale, p)
+    if pp != p:
+        g = jnp.pad(g, ((0, 0), (0, pp - p), (0, 0)))
+    meta = _meta_taps(ys, pp, tp, h, wrows)
+    tap_t = pl.BlockSpec((1, k, tp), lambda bi, pi: (bi, 0, pi),
+                         memory_space=pltpu.VMEM)
+    dx, dys, dxs, dsc = pl.pallas_call(
+        functools.partial(_bwd_taps_kernel, h, w, wrows, nwin, k, c),
+        grid=(b, pp // tp),
+        in_specs=[
+            pl.BlockSpec((1, (pp // tp) * k, 2), lambda bi, pi: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            tap_t, tap_t, tap_t,
+            pl.BlockSpec((1, tp, k * c), lambda bi, pi: (bi, pi, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hw, c), lambda bi, pi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, hw, c), lambda bi, pi: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            tap_t, tap_t, tap_t,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+            jax.ShapeDtypeStruct((b, k, pp), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, pp), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, pp), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((hw, c), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * pp * k * wrows * w * c,
+            bytes_accessed=b * (hw * c * 2 + 2 * pp * k * c) * 2,
+            transcendentals=0,
+        ),
+    )(meta, ys, xs, scale, g, x)
+    return dx, dys[:, :, :p], dxs[:, :, :p], dsc[:, :, :p]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _hat_taps_op(x, ys, xs, scale, plan, dtype, interpret):
+    return _fwd_taps_pallas(x, ys, xs, scale, plan, interpret=interpret)
+
+
+def _hat_taps_fwd(x, ys, xs, scale, plan, dtype, interpret):
+    out = _hat_taps_op(x, ys, xs, scale, plan, dtype, interpret)
+    return out, (x, ys, xs, scale)
+
+
+def _hat_taps_bwd(plan, dtype, interpret, res, g):
+    x, ys, xs, scale = res
+    dx, dys, dxs, dsc = _bwd_taps_pallas(g, x, ys, xs, scale, plan,
+                                         interpret=interpret)
+    return (dx, dys.astype(ys.dtype), dxs.astype(xs.dtype),
+            dsc.astype(scale.dtype))
+
+
+_hat_taps_op.defvjp(_hat_taps_fwd, _hat_taps_bwd)
+
+
+def _xla_taps(x, ys, xs, scale):
+    """(B, K, P) coords -> (B, P, K*C) via the flat XLA sampler."""
+    b, k, p = ys.shape
+    c = x.shape[-1]
+    out = _xla_path(x, ys.reshape(b, k * p), xs.reshape(b, k * p),
+                    scale.reshape(b, k * p))  # (B, K*P, C)
+    return out.reshape(b, k, p, c).transpose(0, 2, 1, 3).reshape(b, p, k * c)
+
+
+def hat_sample_2d_taps(
+    x: jnp.ndarray,
+    ys: jnp.ndarray,
+    xs: jnp.ndarray,
+    scale: Optional[jnp.ndarray] = None,
+    implementation: str = "auto",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Tap-grouped modulated sampling: (B, H, W, C) at (B, K, P) coords ->
+    (B, P, K*C), tap k in lane slice [k*C, (k+1)*C).
+
+    The layout a DCN weight contraction ``out @ W(K*C, Cout)`` consumes with
+    zero relayout, fwd and bwd. Requires C % 128 == 0 on the Pallas path
+    (lane-aligned per-tap slices); otherwise falls back to the XLA gather.
+    """
+    b, h, w, c = x.shape
+    if scale is None:
+        scale = jnp.ones_like(ys)
+    impl = _resolve(x, implementation)
+    plan = _plan(h, w, c, 2 if x.dtype == jnp.bfloat16 else 4)
+    if impl != "pallas" or plan is None or (c % 128 and not interpret):
+        return _xla_taps(x, ys, xs, scale)
+    flat = x.reshape(b, h * w, c)
+    return _hat_taps_op(flat, ys, xs, scale, (plan[0], plan[1], w), x.dtype,
+                        interpret)
 
 
 # ---------------------------------------------------------------------------

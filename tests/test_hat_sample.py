@@ -85,6 +85,73 @@ def test_grads_match_xla(spread):
             err_msg=name)
 
 
+def _rand_taps_case(b, h, w, c, p, k, spread, seed=0):
+    """Tap-major (B, K, P) coords with a DCN-like raster + tap pattern."""
+    rs = np.random.RandomState(seed)
+    x = jnp.asarray(rs.randn(b, h, w, c).astype(np.float32))
+    base_y = np.linspace(0, h - 1, p)[None, None]          # (1, 1, P)
+    base_x = np.tile(np.linspace(0, w - 1, p), (1, 1))[None]
+    tap_dy = (np.arange(k) // 3 - 1.0)[None, :, None]      # (1, K, 1)
+    tap_dx = (np.arange(k) % 3 - 1.0)[None, :, None]
+    ys = base_y + tap_dy + rs.randn(b, k, p) * spread
+    xs = base_x + tap_dx + rs.randn(b, k, p) * spread
+    sc = rs.rand(b, k, p)
+    return (x, jnp.asarray(ys.astype(np.float32)),
+            jnp.asarray(xs.astype(np.float32)),
+            jnp.asarray(sc.astype(np.float32)))
+
+
+def _ref_taps(x, ys, xs, sc):
+    b, k, p = ys.shape
+    c = x.shape[-1]
+    out = _ref(x, ys.reshape(b, k * p), xs.reshape(b, k * p),
+               sc.reshape(b, k * p))
+    return out.reshape(b, k, p, c).transpose(0, 2, 1, 3).reshape(b, p, k * c)
+
+
+@pytest.mark.parametrize("h,w,c,p,k,spread", [
+    (16, 16, 32, 200, 9, 1.5),    # single window
+    (64, 64, 16, 700, 9, 1.5),    # windowed fast path, P pads to tile
+    (64, 64, 16, 512, 9, 80.0),   # wild offsets -> per-tap sweep fallback
+    (32, 32, 128, 1024, 4, 1.0),  # lane-aligned C, K != 9
+])
+def test_taps_fwd_matches_xla(h, w, c, p, k, spread):
+    from minddet_tpu.ops.hat_sample import hat_sample_2d_taps
+
+    x, ys, xs, sc = _rand_taps_case(2, h, w, c, p, k, spread)
+    ref = _ref_taps(x, ys, xs, sc)
+    got = hat_sample_2d_taps(x, ys, xs, sc, implementation="pallas",
+                             interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("spread", [1.5, 80.0])
+def test_taps_grads_match_xla(spread):
+    from minddet_tpu.ops.hat_sample import hat_sample_2d_taps
+
+    x, ys, xs, sc = _rand_taps_case(2, 64, 64, 16, 500, 9, spread, seed=3)
+    ys = jnp.where(jnp.abs(ys - jnp.round(ys)) < 0.05, ys + 0.1, ys)
+    xs = jnp.where(jnp.abs(xs - jnp.round(xs)) < 0.05, xs + 0.1, xs)
+    g = jnp.asarray(np.random.RandomState(9).randn(2, 500, 9 * 16)
+                    .astype(np.float32))
+
+    def loss(fn):
+        def f(x, ys, xs, sc):
+            return jnp.sum(fn(x, ys, xs, sc) * g)
+        return jax.grad(f, argnums=(0, 1, 2, 3))
+
+    dref = loss(_ref_taps)(x, ys, xs, sc)
+    dgot = loss(lambda *a: hat_sample_2d_taps(
+        *a, implementation="pallas", interpret=True))(x, ys, xs, sc)
+    # atol 5e-2: the tap offsets put a handful of coords just past the 0.05
+    # kink nudge, where hat vs corner-gather subgradients legitimately differ
+    for r, got, name in zip(dref, dgot, ("dx", "dys", "dxs", "dscale")):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(r), rtol=3e-2, atol=5e-2,
+            err_msg=name)
+
+
 def test_dcn_layer_still_matches_xla_impl():
     """deform_conv2d through the fused op vs its pure-XLA path."""
     from minddet_tpu.ops.dcn import deform_conv2d
