@@ -24,6 +24,7 @@ from minddet_tpu.models.readers.pillar_encoder import (
     PointPillarsScatter,
 )
 from minddet_tpu.ops.targets import centerpoint_targets_batch
+from minddet_tpu.parallel.mesh import constrain
 from minddet_tpu.ops.voxelize import (
     compact_stream_indices,
     decorate_pillar_features,
@@ -112,6 +113,11 @@ class CenterPoint(nn.Module):
     # ascending (one sort instead of two + sorted scatter/gather hints,
     # ops/voxelize.py); "first_come" is reference-bit-exact under overflow
     voxel_drop_order: str = "sorted"
+    # multi-chip spatial sharding of the BEV canvas: a PartitionSpec tuple
+    # for (batch, canvas rows, ...), e.g. ("data", "model") on a data x model
+    # mesh — XLA partitions the RPN convs spatially with halo exchanges.
+    # None (default) leaves placement to the caller (pure DP / single chip).
+    bev_shard_spec: Any = None
     gaussian_overlap: float = 0.1
     min_radius: float = 2.0
     max_objs: int = 500
@@ -154,6 +160,7 @@ class CenterPoint(nn.Module):
         canvas = self.scatter(pillars, coords)
         if self.rpn_space_to_depth:  # dense path: explicit layout convert
             canvas = space_to_depth(canvas)
+        canvas = constrain(canvas, self.bev_shard_spec)
         x = self.rpn(canvas, train=train)
         return self.head(x, train=train)
 
@@ -249,6 +256,7 @@ class CenterPoint(nn.Module):
             canvas = flat.reshape(b, self.grid_ny, self.grid_nx, -1)
             if self.is_initializing():
                 canvas = canvas[..., :-1]
+        canvas = constrain(canvas, self.bev_shard_spec)
         x = self.rpn(canvas, train=train)
         return self.head(x, train=train)
 

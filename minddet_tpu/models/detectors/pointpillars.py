@@ -41,6 +41,7 @@ from minddet_tpu.ops.anchors import (
     generate_anchors,
 )
 from minddet_tpu.ops.box import limit_period, rbbox_to_near_bbox, second_box_decode
+from minddet_tpu.parallel.mesh import constrain
 from minddet_tpu.ops.nms import rotated_nms
 from minddet_tpu.ops.voxelize import (
     decorate_pillar_features,
@@ -146,6 +147,11 @@ class PointPillars(nn.Module):
     # scatter/gather hints on the plain layout); "first_come" is
     # reference-bit-exact under overflow (ops/voxelize.py docstring)
     voxel_drop_order: str = "sorted"
+    # multi-chip spatial sharding of the BEV canvas: a PartitionSpec tuple
+    # for (batch, canvas rows, ...), e.g. ("data", "model") on a data x model
+    # mesh — XLA partitions the RPN convs spatially with halo exchanges.
+    # None (default) leaves placement to the caller (pure DP / single chip).
+    bev_shard_spec: Any = None
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -305,6 +311,7 @@ class PointPillars(nn.Module):
             # dense-path canvases arrive at full resolution; the stream path
             # already scatters into the s2d layout
             canvas = space_to_depth(canvas)
+        canvas = constrain(canvas, self.bev_shard_spec)
         x = self.rpn(canvas, train=train)  # (B, ny/2, nx/2, 384)
 
         if self.is_initializing():

@@ -92,6 +92,29 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(_place, batch)
 
 
+def constrain(x, spec: Optional[Sequence[Optional[str]]]):
+    """``with_sharding_constraint`` from a tuple spec; no-op for ``None``.
+
+    Call inside ``jit`` under an active ``Mesh`` context. E.g.
+    ``constrain(canvas, ("data", "model"))`` shards the batch dim over the
+    data axis and the BEV canvas rows over the model axis — XLA's SPMD
+    partitioner then spatially partitions every downstream convolution with
+    halo exchanges over ICI (the "model axis for spatial sharding of the
+    512x512 BEV canvas" option from SURVEY.md §2.5). Trailing dims are
+    replicated. Outside any mesh context (e.g. ``model.init`` tracing on a
+    single device) this is a no-op, so spec'd models still init normally.
+    """
+    if spec is None:
+        return x
+    from jax._src import mesh as _mesh_lib
+
+    if (_mesh_lib.thread_resources.env.physical_mesh.empty
+            and jax.sharding.get_abstract_mesh().empty):
+        return x
+    spec = tuple(spec) + (None,) * (x.ndim - len(spec))
+    return jax.lax.with_sharding_constraint(x, P(*spec))
+
+
 def shard_params(mesh: Mesh, params, fsdp_min_size: int = 2**18):
     """Place parameters: replicated by default; if the mesh has a non-trivial
     ``fsdp`` axis, shard the largest dim of big tensors over it (ZeRO-3-lite).
