@@ -318,7 +318,9 @@ def bench_pointpillars_train() -> dict:
         rpn_space_to_depth=os.environ.get("PP_S2D", "1") != "0",
         rpn_scan_inner=not os.environ.get("PP_UNROLL"),
         # PP_SCAN_MIN=4 unrolls just block0 (3 layers, largest activations)
-        rpn_scan_min_layers=int(os.environ.get("PP_SCAN_MIN", "2")))
+        rpn_scan_min_layers=int(os.environ.get("PP_SCAN_MIN", "2")),
+        # pre-stacked scan params: no per-step kernel restack / grad unstack
+        rpn_stacked_params=os.environ.get("PP_STACKED", "0") == "1")
     raw = next(synthetic_points_batches(BATCH, pcr, num_points=18000,
                                         max_gt=24))
     raw.pop("step", None)
@@ -328,8 +330,9 @@ def bench_pointpillars_train() -> dict:
         cpu_batch = {k: jnp.asarray(v) for k, v in raw.items()}
         cpu_batch.update(model.anchor_set())
         variables = _cached_init(
-            "pointpillars" if os.environ.get("PP_S2D", "1") == "0"
-            else "pointpillars_s2d",
+            ("pointpillars" if os.environ.get("PP_S2D", "1") == "0"
+             else "pointpillars_s2d")
+            + ("_stk" if model.rpn_stacked_params else ""),
             lambda: model.init({"params": jax.random.PRNGKey(0)}, cpu_batch,
                                method=model.loss_from_gt))
     _phase("cpu init done")
@@ -395,7 +398,9 @@ def bench_centerpoint_train() -> dict:
     pcr = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
     model = CenterPoint(dtype=jnp.bfloat16,
                         rpn_space_to_depth=bool(os.environ.get("CP_S2D")),
-                        rpn_scan_inner=not os.environ.get("CP_UNROLL"))
+                        rpn_scan_inner=not os.environ.get("CP_UNROLL"),
+                        rpn_stacked_params=os.environ.get(
+                            "CP_STACKED", "0") == "1")
     raw = next(synthetic_points_batches(
         BATCH, pcr, num_points=120000, max_gt=64, num_classes=10,
         num_features=5, box_dim=9))
@@ -404,7 +409,8 @@ def bench_centerpoint_train() -> dict:
     with jax.default_device(jax.devices("cpu")[0]):
         cpu_batch = {k: jnp.asarray(v) for k, v in raw.items()}
         variables = _cached_init(
-            "centerpoint_s2d" if os.environ.get("CP_S2D") else "centerpoint",
+            ("centerpoint_s2d" if os.environ.get("CP_S2D") else "centerpoint")
+            + ("_stk" if model.rpn_stacked_params else ""),
             lambda: model.init({"params": jax.random.PRNGKey(0)}, cpu_batch,
                                method=model.loss_from_gt))
     _phase("cpu init done")

@@ -142,6 +142,10 @@ class PointPillars(nn.Module):
     # unroll blocks shallower than this even when scanning (see
     # SECONDRPN.scan_min_layers)
     rpn_scan_min_layers: int = 2
+    # store scanned RPN blocks' params pre-stacked (no per-step restack /
+    # grad unstack; checkpoint layout changes — see
+    # second_rpn.stack_inner_variables)
+    rpn_stacked_params: bool = False
     # overflow drop order of the in-step voxelizer: "sorted" keeps the
     # max_voxels lowest cell ids (one sort instead of two, sorted
     # scatter/gather hints on the plain layout); "first_come" is
@@ -168,6 +172,7 @@ class PointPillars(nn.Module):
             input_space_to_depth=self.rpn_space_to_depth,
             scan_inner=self.rpn_scan_inner,
             scan_min_layers=self.rpn_scan_min_layers,
+            stacked_inner=self.rpn_stacked_params,
             dtype=self.dtype,
         )
         a = self.num_anchor_per_loc

@@ -30,6 +30,76 @@ _BN_MOMENTUM = 0.99
 _BN_EPS = 1e-3
 
 
+def _stacked_lecun(key, shape, dtype=jnp.float32):
+    """Per-layer lecun_normal over the leading stack axis: (n, kh, kw, c, f)
+    draws each layer from the SAME distribution an unstacked ``nn.Conv``
+    would (fan-in from the per-layer shape, not the stacked one)."""
+    init = nn.initializers.lecun_normal()
+    keys = jax.random.split(key, shape[0])
+    return jnp.stack([init(k, shape[1:], dtype) for k in keys])
+
+
+def _scans(scan_inner: bool, n: int, scan_min_layers: int) -> bool:
+    return scan_inner and n >= max(2, scan_min_layers)
+
+
+def stack_inner_variables(rpn_vars, layer_nums, scan_inner: bool = True,
+                          scan_min_layers: int = 2):
+    """Per-layer RPN variables -> the ``stacked_inner=True`` layout.
+
+    ``block{i}_{j}_conv/kernel`` and ``block{i}_{j}_bn`` scale/bias/mean/var
+    become ``block{i}_inner_{kernel,scale,bias,mean,var}`` stacked on a
+    leading layer axis, for every block the scan predicate covers. The
+    checkpoint-converter contract stays per-layer (``utils/convert.py``
+    emits ``block{i}_{j}_*``); apply this to the converted ``rpn`` subtree
+    when loading into a ``stacked_inner`` model. Inverse:
+    :func:`unstack_inner_variables`.
+    """
+    params = dict(rpn_vars["params"])
+    stats = dict(rpn_vars.get("batch_stats", {}))
+    for bi, n in enumerate(layer_nums):
+        if not _scans(scan_inner, n, scan_min_layers):
+            continue
+        params[f"block{bi}_inner_kernel"] = jnp.stack(
+            [params.pop(f"block{bi}_{j}_conv")["kernel"] for j in range(n)])
+        bns = [params.pop(f"block{bi}_{j}_bn") for j in range(n)]
+        params[f"block{bi}_inner_scale"] = jnp.stack(
+            [b["scale"] for b in bns])
+        params[f"block{bi}_inner_bias"] = jnp.stack([b["bias"] for b in bns])
+        sbns = [stats.pop(f"block{bi}_{j}_bn") for j in range(n)]
+        stats[f"block{bi}_inner_mean"] = jnp.stack([b["mean"] for b in sbns])
+        stats[f"block{bi}_inner_var"] = jnp.stack([b["var"] for b in sbns])
+    out = dict(rpn_vars)
+    out["params"] = params
+    if stats or "batch_stats" in rpn_vars:
+        out["batch_stats"] = stats
+    return out
+
+
+def unstack_inner_variables(rpn_vars, layer_nums, scan_inner: bool = True,
+                            scan_min_layers: int = 2):
+    """Inverse of :func:`stack_inner_variables` (stacked -> per-layer)."""
+    params = dict(rpn_vars["params"])
+    stats = dict(rpn_vars.get("batch_stats", {}))
+    for bi, n in enumerate(layer_nums):
+        if not _scans(scan_inner, n, scan_min_layers):
+            continue
+        ks = params.pop(f"block{bi}_inner_kernel")
+        sc = params.pop(f"block{bi}_inner_scale")
+        bi_ = params.pop(f"block{bi}_inner_bias")
+        mu = stats.pop(f"block{bi}_inner_mean")
+        va = stats.pop(f"block{bi}_inner_var")
+        for j in range(n):
+            params[f"block{bi}_{j}_conv"] = {"kernel": ks[j]}
+            params[f"block{bi}_{j}_bn"] = {"scale": sc[j], "bias": bi_[j]}
+            stats[f"block{bi}_{j}_bn"] = {"mean": mu[j], "var": va[j]}
+    out = dict(rpn_vars)
+    out["params"] = params
+    if stats or "batch_stats" in rpn_vars:
+        out["batch_stats"] = stats
+    return out
+
+
 def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
     """(B, H, W, C) -> (B, H/2, W/2, 4C); sub-pixel (a, b) is channel block
     a*2+b (the layout ``SECONDRPN(input_space_to_depth=True)`` consumes)."""
@@ -134,6 +204,14 @@ class SECONDRPN(nn.Module):
     # large-activation shallow blocks those boundary copies can cost more
     # than the executable-size saving buys (r4 A/B lever, PP_SCAN_MIN)
     scan_min_layers: int = 2
+    # store scanned blocks' parameters PRE-STACKED on a leading layer axis
+    # (block{i}_inner_* instead of n x block{i}_{j}_*): the scan consumes
+    # them with no per-step restack and kernel grads arrive stacked with no
+    # unstack — the r4 CenterPoint trace attributes ~5 ms/step to those
+    # dynamic-update-slice/slice chains on UNCHANGED parameters. Checkpoint
+    # layout changes; convert with stack_inner_variables /
+    # unstack_inner_variables.
+    stacked_inner: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -150,12 +228,27 @@ class SECONDRPN(nn.Module):
                 f, (3, 3), (s, s), padding=1, use_bias=False,
                 dtype=self.dtype, name=f"block{bi}_down_conv"))
             down_bns.append(bn(f"block{bi}_down_bn"))
-            inner.append(tuple(
-                (nn.Conv(f, (3, 3), (1, 1), padding=1, use_bias=False,
-                         dtype=self.dtype, name=f"block{bi}_{li}_conv"),
-                 bn(f"block{bi}_{li}_bn"))
-                for li in range(n)
-            ))
+            if self.stacked_inner and _scans(self.scan_inner, n,
+                                             self.scan_min_layers):
+                inner.append((
+                    self.param(f"block{bi}_inner_kernel", _stacked_lecun,
+                               (n, 3, 3, f, f)),
+                    self.param(f"block{bi}_inner_scale",
+                               nn.initializers.ones, (n, f)),
+                    self.param(f"block{bi}_inner_bias",
+                               nn.initializers.zeros, (n, f)),
+                    self.variable("batch_stats", f"block{bi}_inner_mean",
+                                  jnp.zeros, (n, f)),
+                    self.variable("batch_stats", f"block{bi}_inner_var",
+                                  jnp.ones, (n, f)),
+                ))
+            else:
+                inner.append(tuple(
+                    (nn.Conv(f, (3, 3), (1, 1), padding=1, use_bias=False,
+                             dtype=self.dtype, name=f"block{bi}_{li}_conv"),
+                     bn(f"block{bi}_{li}_bn"))
+                    for li in range(n)
+                ))
             if us >= 1:
                 us_i = int(us)
                 up_convs.append(nn.ConvTranspose(
@@ -178,27 +271,37 @@ class SECONDRPN(nn.Module):
     def _inner_block(self, x, layers, train: bool):
         """n x (3x3 conv s1 + BN + ReLU) via ONE scanned body.
 
-        Init (and n == 1) runs the real submodules so the parameter tree
-        materializes under the standard per-layer names; the scan path
-        reproduces flax BatchNorm's numerics (f32 batch statistics, biased
-        variance, normalization in ``dtype``) and writes running-stat
-        updates back into each layer's own ``batch_stats`` scope.
+        Per-layer storage: init (and n == 1) runs the real submodules so the
+        parameter tree materializes under the standard per-layer names; the
+        scan path stacks them at trace time. ``stacked_inner`` storage: the
+        parameters already live stacked (no per-step restack, grads arrive
+        stacked). Both scan paths reproduce flax BatchNorm's numerics (f32
+        batch statistics, biased variance, normalization in ``dtype``) and
+        write running-stat updates back into ``batch_stats``.
         """
-        if (self.is_initializing() or not self.scan_inner
+        stacked = self.stacked_inner and len(layers) == 5 and not isinstance(
+            layers[0], tuple)
+        if stacked:
+            kernel_p, scale, bias, mean_v, var_v = layers
+            kernels = kernel_p.astype(self.dtype)
+            r_mean, r_var = mean_v.value, var_v.value
+        elif (self.is_initializing() or not self.scan_inner
                 or len(layers) < max(2, self.scan_min_layers)):
             for conv, bnm in layers:
                 x = nn.relu(bnm(conv(x), use_running_average=not train))
             return x
-
-        kernels = jnp.stack(
-            [c.variables["params"]["kernel"] for c, _ in layers]
-        ).astype(self.dtype)
-        scale = jnp.stack([b.variables["params"]["scale"] for _, b in layers])
-        bias = jnp.stack([b.variables["params"]["bias"] for _, b in layers])
-        r_mean = jnp.stack(
-            [b.variables["batch_stats"]["mean"] for _, b in layers])
-        r_var = jnp.stack(
-            [b.variables["batch_stats"]["var"] for _, b in layers])
+        else:
+            kernels = jnp.stack(
+                [c.variables["params"]["kernel"] for c, _ in layers]
+            ).astype(self.dtype)
+            scale = jnp.stack(
+                [b.variables["params"]["scale"] for _, b in layers])
+            bias = jnp.stack(
+                [b.variables["params"]["bias"] for _, b in layers])
+            r_mean = jnp.stack(
+                [b.variables["batch_stats"]["mean"] for _, b in layers])
+            r_var = jnp.stack(
+                [b.variables["batch_stats"]["var"] for _, b in layers])
 
         def body(h, layer):
             k, sc, bi, mu, va = layer
@@ -223,9 +326,14 @@ class SECONDRPN(nn.Module):
         if train:
             new_mean = _BN_MOMENTUM * r_mean + (1 - _BN_MOMENTUM) * batch_means
             new_var = _BN_MOMENTUM * r_var + (1 - _BN_MOMENTUM) * batch_vars
-            for li, (_, bnm) in enumerate(layers):
-                bnm.put_variable("batch_stats", "mean", new_mean[li])
-                bnm.put_variable("batch_stats", "var", new_var[li])
+            if stacked:
+                if not self.is_initializing():
+                    mean_v.value = new_mean
+                    var_v.value = new_var
+            else:
+                for li, (_, bnm) in enumerate(layers):
+                    bnm.put_variable("batch_stats", "mean", new_mean[li])
+                    bnm.put_variable("batch_stats", "var", new_var[li])
         return x
 
     def __call__(self, x, train: bool = False):
