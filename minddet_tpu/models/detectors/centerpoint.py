@@ -18,6 +18,10 @@ import jax.numpy as jnp
 
 from minddet_tpu.core.registry import DETECTORS
 from minddet_tpu.models.heads.center_head import CenterHead
+from minddet_tpu.models.heads.second_stage import (
+    BEVFeatureExtractor,
+    BEVRefineHead,
+)
 from minddet_tpu.models.necks.second_rpn import SECONDRPN, space_to_depth
 from minddet_tpu.models.readers.pillar_encoder import (
     PillarFeatureNet,
@@ -108,6 +112,10 @@ class CenterPoint(nn.Module):
     # unroll blocks shallower than this even when scanning (see
     # SECONDRPN.scan_min_layers)
     rpn_scan_min_layers: int = 2
+    # store scanned RPN blocks' params pre-stacked (no per-step restack /
+    # grad unstack; checkpoint layout changes — see
+    # second_rpn.stack_inner_variables)
+    rpn_stacked_params: bool = False
     # overflow drop order of the in-step voxelizer: "sorted" keeps the
     # max_voxels lowest cell ids and makes the canvas scatter indices
     # ascending (one sort instead of two + sorted scatter/gather hints,
@@ -137,6 +145,7 @@ class CenterPoint(nn.Module):
             input_space_to_depth=self.rpn_space_to_depth,
             scan_inner=self.rpn_scan_inner,
             scan_min_layers=self.rpn_scan_min_layers,
+            stacked_inner=self.rpn_stacked_params,
             dtype=self.dtype,
         )
         self.head = CenterHead(
@@ -165,9 +174,15 @@ class CenterPoint(nn.Module):
         return self.head(x, train=train)
 
     def _preds_from_points_stream(self, points, points_mask, train: bool):
+        return self.head(
+            self._bev_from_points_stream(points, points_mask, train),
+            train=train)
+
+    def _bev_from_points_stream(self, points, points_mask, train: bool):
         """Stream pillar path (see ``PointPillars._canvas_from_points``):
-        sorted point stream -> PFN -> one canvas scatter, skipping the
-        padded (V, P, F) voxels tensor and its scatter."""
+        sorted point stream -> PFN -> one canvas scatter -> RPN, skipping
+        the padded (V, P, F) voxels tensor and its scatter. Returns the
+        neck's BEV feature map (the second stage samples it too)."""
         sv = voxelize_stream_batch(
             points, points_mask, tuple(self.voxel_size), tuple(self.pc_range),
             self.max_voxels, self.max_points_per_voxel,
@@ -257,19 +272,10 @@ class CenterPoint(nn.Module):
             if self.is_initializing():
                 canvas = canvas[..., :-1]
         canvas = constrain(canvas, self.bev_shard_spec)
-        x = self.rpn(canvas, train=train)
-        return self.head(x, train=train)
+        return self.rpn(canvas, train=train)
 
-    def loss_from_gt(self, batch: Dict[str, Any], train: bool = True):
-        """Raw-points batch -> loss: device voxelize + per-task Gaussian
-        heatmap/anno-box assignment fused into the jitted step (the reference
-        bakes AssignLabel offline into MindRecord,
-        ``tools_ms/create_mindrecord.py:16-121``).
-
-        batch: points (B, N, 5) padded, points_mask (B, N), gt_boxes
-        (B, G, 9) [x,y,z,w,l,h,vx,vy,yaw], gt_classes (B, G) 1-based global
-        ids (sequential over the task grouping), gt_mask (B, G).
-        """
+    def _stage1_example(self, batch: Dict[str, Any]) -> Dict[str, List]:
+        """gt boxes/classes -> the per-task Gaussian target dict."""
         fh = self.grid_ny // self.out_size_factor
         fw = self.grid_nx // self.out_size_factor
         example: Dict[str, List] = {
@@ -291,6 +297,19 @@ class CenterPoint(nn.Module):
             for k in example:
                 example[k].append(tt[k])
             lo += n
+        return example
+
+    def loss_from_gt(self, batch: Dict[str, Any], train: bool = True):
+        """Raw-points batch -> loss: device voxelize + per-task Gaussian
+        heatmap/anno-box assignment fused into the jitted step (the reference
+        bakes AssignLabel offline into MindRecord,
+        ``tools_ms/create_mindrecord.py:16-121``).
+
+        batch: points (B, N, 5) padded, points_mask (B, N), gt_boxes
+        (B, G, 9) [x,y,z,w,l,h,vx,vy,yaw], gt_classes (B, G) 1-based global
+        ids (sequential over the task grouping), gt_mask (B, G).
+        """
+        example = self._stage1_example(batch)
         preds = self._preds_from_points_stream(
             batch["points"], batch["points_mask"], train)
         return self.head.loss(preds, example)
@@ -418,3 +437,142 @@ class CenterPoint(nn.Module):
             nms_post=nms_post,
             nms_iou=nms_iou,
         )
+
+
+@DETECTORS.register_module()
+class CenterPointTwoStage(CenterPoint):
+    """Two-stage CenterPoint: first stage + BEV-feature proposal refinement.
+
+    The reference stops at the hook — ``forward_two_stage`` hands
+    first-stage boxes and the BEV map to a second stage that does not exist
+    in its tree (``det3d_ms/models/detectors/point_pillars.py:96-133``;
+    ``SECOND_STAGE`` registry with no members, ``models/registry.py:9``).
+    Here the stage is implemented (``heads/second_stage.py``): fixed-K
+    proposals decode WITHOUT NMS from the stage-1 heatmaps (static shapes;
+    the reference two-stage recipe NMS-es first, which is host-bound and
+    dynamic — the top-K union is the XLA-native equivalent), 5-point BEV
+    features gather in one fused bilinear op, and an MLP predicts an
+    IoU-quality score plus a SECOND-residual box refinement.
+
+    Training: stage-1 loss unchanged; proposals are stop-gradiented (the
+    reference detaches its preds too); score target = clip(2*IoU-0.5, 0, 1)
+    vs the best-matching GT (BCE), box target = ``second_box_encode`` of the
+    matched GT against the proposal (smooth-L1, foreground IoU >= fg_iou).
+    Inference (`predict_refined`): the usual per-task NMS detections get
+    score = sqrt(stage1 * sigmoid(stage2)) and refined geometry.
+
+    Parameter scope stays flat: single-stage checkpoints load directly; the
+    stage-2 modules add the ``extractor``/``refine`` scopes on top.
+    """
+
+    num_proposals: int = 128
+    fg_iou: float = 0.55
+    stage2_score_weight: float = 1.0
+    stage2_box_weight: float = 1.0
+    refine_hidden: int = 128
+
+    def setup(self):
+        CenterPoint.setup(self)
+        self.extractor = BEVFeatureExtractor(
+            pc_range=self.pc_range,
+            voxel_size=self.voxel_size,
+            out_size_factor=self.out_size_factor,
+        )
+        self.refine = BEVRefineHead(hidden=self.refine_hidden,
+                                    dtype=self.dtype)
+
+    def _refine_proposals(self, bev, boxes, train: bool):
+        feats = self.extractor(bev, boxes)
+        return self.refine(feats, train=train)
+
+    def loss_from_gt(self, batch: Dict[str, Any], train: bool = True):
+        from minddet_tpu.ops.box import second_box_encode
+        from minddet_tpu.ops.rotated_iou import rotated_iou_bev
+
+        example = self._stage1_example(batch)
+        bev = self._bev_from_points_stream(
+            batch["points"], batch["points_mask"], train)
+        preds = self.head(bev, train=train)
+        total, parts = self.head.loss(preds, example)
+        if self.is_initializing() and bev.dtype == jnp.float32:
+            pass  # init runs the full stage-2 graph below too
+
+        sg = jax.lax.stop_gradient
+        boxes, scores, _ = self.head.decode_boxes(
+            jax.tree_util.tree_map(sg, preds),
+            pc_range=self.pc_range, voxel_size=self.voxel_size,
+            out_size_factor=self.out_size_factor, k=self.num_proposals,
+        )
+        slog, deltas = self._refine_proposals(bev, boxes, train)
+
+        prop_bev = boxes[..., jnp.array([0, 1, 3, 4, 8])].astype(jnp.float32)
+        gt_bev = batch["gt_boxes"][..., jnp.array([0, 1, 3, 4, 8])].astype(
+            jnp.float32)
+        iou = jax.vmap(rotated_iou_bev)(prop_bev, gt_bev)  # (B, K, G)
+        iou = jnp.where(batch["gt_mask"][:, None, :], iou, 0.0)
+        best = jnp.argmax(iou, axis=-1)
+        miou = jnp.max(iou, axis=-1)
+
+        starget = jnp.clip(2.0 * miou - 0.5, 0.0, 1.0)
+        score_loss = jnp.mean(
+            jnp.maximum(slog, 0.0) - slog * starget
+            + jnp.log1p(jnp.exp(-jnp.abs(slog)))
+        )
+
+        idx7 = jnp.array([0, 1, 2, 3, 4, 5, 8])
+        gt7 = batch["gt_boxes"][..., idx7].astype(jnp.float32)
+        matched = jnp.take_along_axis(gt7, best[..., None, None].repeat(
+            7, axis=-1)[..., 0, :], axis=1)
+        tgt = second_box_encode(matched, boxes[..., idx7].astype(jnp.float32))
+        fg = (miou >= self.fg_iou).astype(jnp.float32)
+        diff = deltas - tgt
+        huber = jnp.where(jnp.abs(diff) < 1.0, 0.5 * diff * diff,
+                          jnp.abs(diff) - 0.5)
+        box_loss = jnp.sum(huber.sum(-1) * fg) / jnp.maximum(fg.sum(), 1.0)
+
+        total = (total + self.stage2_score_weight * score_loss
+                 + self.stage2_box_weight * box_loss)
+        parts["stage2_score"] = score_loss
+        parts["stage2_box"] = box_loss
+        return total, parts
+
+    def predict_refined(
+        self,
+        points: jnp.ndarray,
+        points_mask: jnp.ndarray,
+        score_threshold: float = 0.1,
+        nms_pre: int = 1000,
+        nms_post: int = 83,
+        nms_iou: float = 0.2,
+        refine_boxes: bool = True,
+    ) -> Dict[str, jnp.ndarray]:
+        """Raw points -> stage-1 detections -> stage-2 rescore/refine, one
+        fused device program (the reference's ``forward_two_stage`` role plus
+        the stage it never shipped)."""
+        from minddet_tpu.ops.box import second_box_decode
+
+        bev = self._bev_from_points_stream(points, points_mask, False)
+        preds = self.head(bev, train=False)
+        det = self.head.predict(
+            preds,
+            pc_range=self.pc_range, voxel_size=self.voxel_size,
+            out_size_factor=self.out_size_factor,
+            score_threshold=score_threshold,
+            nms_pre=nms_pre, nms_post=nms_post, nms_iou=nms_iou,
+        )
+        slog, deltas = self._refine_proposals(bev, det["boxes"], False)
+        s2 = jax.nn.sigmoid(slog)
+        valid = det["labels"] >= 0
+        scores = jnp.where(
+            valid, jnp.sqrt(jnp.maximum(det["scores"] * s2, 0.0)), 0.0)
+        boxes = det["boxes"]
+        if refine_boxes:
+            idx7 = jnp.array([0, 1, 2, 3, 4, 5, 8])
+            dec = second_box_decode(deltas, boxes[..., idx7].astype(
+                jnp.float32))
+            boxes = boxes.astype(jnp.float32)
+            boxes = boxes.at[..., jnp.array([0, 1, 2])].set(dec[..., :3])
+            boxes = boxes.at[..., jnp.array([3, 4, 5])].set(dec[..., 3:6])
+            boxes = boxes.at[..., 8].set(dec[..., 6])
+            boxes = jnp.where(valid[..., None], boxes, 0.0)
+        return {"boxes": boxes, "scores": scores, "labels": det["labels"]}

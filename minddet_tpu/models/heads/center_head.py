@@ -232,6 +232,80 @@ class CenterHead(nn.Module):
             parts[f"task{t}_loc"] = loc_loss
         return total, parts
 
+    # -- decode -------------------------------------------------------------
+    @staticmethod
+    def _decode_task(
+        pred: Dict[str, jnp.ndarray],
+        pc_range: Sequence[float],
+        voxel_size: Sequence[float],
+        out_size_factor: int,
+        k: int,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """One task's raw maps -> top-k world boxes9/scores/within-task cls.
+
+        The shared decode of ``predict`` (peak scores -> gather reg/height/
+        dim/rot/vel -> box assembly, ``CenterHead.predict:273-345`` in the
+        reference) so the two-stage proposal path reuses the identical
+        graph.
+        """
+        hm = jax.nn.sigmoid(pred["hm"].astype(jnp.float32))
+        b, h, w, c = hm.shape
+        scores, pos, cls, ys, xs = simple_topk(hm, k=k)
+
+        def gather(m):
+            return jax.vmap(lambda f, i: f.reshape(h * w, -1)[i])(
+                m.astype(jnp.float32), pos
+            )
+
+        reg = gather(pred["reg"])
+        height = gather(pred["height"])[..., 0]
+        dim = jnp.exp(gather(pred["dim"]))
+        rot = gather(pred["rot"])
+        vel = gather(pred["vel"])
+        yaw = jnp.arctan2(rot[..., 0], rot[..., 1])
+
+        cx = (xs + reg[..., 0]) * out_size_factor * voxel_size[0] + pc_range[0]
+        cy = (ys + reg[..., 1]) * out_size_factor * voxel_size[1] + pc_range[1]
+        boxes = jnp.concatenate(
+            [
+                cx[..., None], cy[..., None], height[..., None],
+                dim, vel, yaw[..., None],
+            ],
+            axis=-1,
+        )  # (B, K, 9)
+        return boxes, scores, cls
+
+    def decode_boxes(
+        self,
+        preds: List[Dict[str, jnp.ndarray]],
+        pc_range: Sequence[float],
+        voxel_size: Sequence[float],
+        out_size_factor: int = 4,
+        k: int = 128,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Global top-k decoded boxes across all tasks WITHOUT NMS.
+
+        The static-shape proposal source for the second stage: per task the
+        k highest peaks decode to world boxes, then one global top-k by
+        score keeps the best k over the task union. Returns boxes9
+        (B, k, 9), scores (B, k), global labels (B, k).
+        """
+        boxes_all, scores_all, labels_all = [], [], []
+        cls_offset = 0
+        for pred in preds:
+            boxes, scores, cls = self._decode_task(
+                pred, pc_range, voxel_size, out_size_factor, k)
+            boxes_all.append(boxes)
+            scores_all.append(scores)
+            labels_all.append(cls + cls_offset)
+            cls_offset += pred["hm"].shape[-1]
+        boxes = jnp.concatenate(boxes_all, axis=1)
+        scores = jnp.concatenate(scores_all, axis=1)
+        labels = jnp.concatenate(labels_all, axis=1)
+        top, order = jax.lax.top_k(scores, k)
+        take = jax.vmap(lambda a, i: a[i])
+        return take(boxes, order), top, take(labels, order)
+
     # -- predict ------------------------------------------------------------
     def predict(
         self,
@@ -254,31 +328,9 @@ class CenterHead(nn.Module):
         cls_offset = 0
         pcr = jnp.asarray(post_center_range)
         for t, pred in enumerate(preds):
-            hm = jax.nn.sigmoid(pred["hm"].astype(jnp.float32))
-            b, h, w, c = hm.shape
-            scores, pos, cls, ys, xs = simple_topk(hm, k=nms_pre)
-
-            def gather(m):
-                return jax.vmap(lambda f, i: f.reshape(h * w, -1)[i])(
-                    m.astype(jnp.float32), pos
-                )
-
-            reg = gather(pred["reg"])
-            height = gather(pred["height"])[..., 0]
-            dim = jnp.exp(gather(pred["dim"]))
-            rot = gather(pred["rot"])
-            vel = gather(pred["vel"])
-            yaw = jnp.arctan2(rot[..., 0], rot[..., 1])
-
-            cx = (xs + reg[..., 0]) * out_size_factor * voxel_size[0] + pc_range[0]
-            cy = (ys + reg[..., 1]) * out_size_factor * voxel_size[1] + pc_range[1]
-            boxes = jnp.concatenate(
-                [
-                    cx[..., None], cy[..., None], height[..., None],
-                    dim, vel, yaw[..., None],
-                ],
-                axis=-1,
-            )  # (B, K, 9)
+            boxes, scores, cls = self._decode_task(
+                pred, pc_range, voxel_size, out_size_factor, nms_pre)
+            c = pred["hm"].shape[-1]
 
             in_range = jnp.all(boxes[..., :3] >= pcr[:3], axis=-1) & jnp.all(
                 boxes[..., :3] <= pcr[3:], axis=-1
