@@ -494,8 +494,6 @@ class CenterPointTwoStage(CenterPoint):
             batch["points"], batch["points_mask"], train)
         preds = self.head(bev, train=train)
         total, parts = self.head.loss(preds, example)
-        if self.is_initializing() and bev.dtype == jnp.float32:
-            pass  # init runs the full stage-2 graph below too
 
         sg = jax.lax.stop_gradient
         boxes, scores, _ = self.head.decode_boxes(
@@ -521,8 +519,8 @@ class CenterPointTwoStage(CenterPoint):
 
         idx7 = jnp.array([0, 1, 2, 3, 4, 5, 8])
         gt7 = batch["gt_boxes"][..., idx7].astype(jnp.float32)
-        matched = jnp.take_along_axis(gt7, best[..., None, None].repeat(
-            7, axis=-1)[..., 0, :], axis=1)
+        matched = jnp.take_along_axis(
+            gt7, jnp.repeat(best[..., None], 7, axis=-1), axis=1)
         tgt = second_box_encode(matched, boxes[..., idx7].astype(jnp.float32))
         fg = (miou >= self.fg_iou).astype(jnp.float32)
         diff = deltas - tgt
