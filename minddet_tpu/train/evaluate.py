@@ -336,11 +336,15 @@ def nuscenes_evaluate(
     max_frames: int = 0,
     score_threshold: float = 0.1,
     tta: bool = False,
+    refined: bool = False,
 ) -> Dict[str, float]:
     """CenterPoint -> nuScenes protocol metrics (mAP@{0.5,1,2,4} m, TP
     errors incl. mAAE via the CenterPoint submission attribute heuristic,
     NDS). One fused device program per batch (voxelize + forward + per-task
-    decode + rotated NMS); the host only does protocol matching."""
+    decode + rotated NMS); the host only does protocol matching.
+
+    ``refined=True`` routes through ``predict_refined`` (two-stage models:
+    stage-2 rescore + box refinement in the same fused program)."""
     from minddet_tpu.data.nuscenes import (
         DETECTION_CLASSES,
         NuScenesDetection,
@@ -356,9 +360,16 @@ def nuscenes_evaluate(
         raise ValueError("need at least one frame")
 
     # --options tta=true switches to double-flip TTA (reference DoubleFlip,
-    # pipelines/test_aug.py) — 4 flipped clouds, map-space merge, one decode
-    method = (model.predict_tta_double_flip if tta
-              else model.predict_from_points)
+    # pipelines/test_aug.py) — 4 flipped clouds, map-space merge, one decode;
+    # --options refined=true uses the two-stage predict
+    if refined:
+        if not hasattr(model, "predict_refined"):
+            raise ValueError(
+                "refined=true needs a two-stage model (CenterPointTwoStage)")
+        method = model.predict_refined
+    else:
+        method = (model.predict_tta_double_flip if tta
+                  else model.predict_from_points)
 
     @jax.jit
     def predict(points, mask):
@@ -626,6 +637,7 @@ def main(argv=None) -> None:
         stats = nuscenes_evaluate(
             model, variables, args.records, max_frames=args.max_images,
             tta=opts.get("tta", "").lower() in ("1", "true", "yes"),
+            refined=opts.get("refined", "").lower() in ("1", "true", "yes"),
         )
         for k, v in stats.items():
             logger.info("%s: %.4f", k, v)

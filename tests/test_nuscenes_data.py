@@ -331,3 +331,36 @@ def test_nuscenes_e2e_eval_path(tmp_path):
                               score_threshold=0.0)
     assert {"mAP", "NDS", "mATE", "mAAE"} <= set(stats)
     assert all(np.isfinite(v) for v in stats.values())
+
+
+@pytest.mark.slow
+def test_nuscenes_e2e_eval_path_refined(tmp_path):
+    """records -> CenterPointTwoStage predict_refined -> nuScenes metrics
+    (the --options refined=true route in train/evaluate.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from minddet_tpu.data.nuscenes import create_nuscenes_records
+    from minddet_tpu.models.detectors.centerpoint import CenterPointTwoStage
+    from minddet_tpu.train.evaluate import nuscenes_evaluate
+
+    root = _write_fake_nusc(str(tmp_path))
+    out = str(tmp_path / "nusc")
+    create_nuscenes_records(root, out, "v1.0-test", nsweeps=3)
+    model = CenterPointTwoStage(
+        task_num_classes=(1, 2, 2, 1, 2, 2), grid_ny=128, grid_nx=128,
+        voxel_size=(0.2, 0.2, 8.0),
+        pc_range=(-12.8, -12.8, -5.0, 12.8, 12.8, 3.0),
+        max_voxels=1024, max_points_per_voxel=8, max_objs=32,
+        rpn_filters=(32, 64, 128), rpn_up_filters=(32, 32, 32),
+        num_proposals=16, refine_hidden=32,
+    )
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 256, 5)),
+        jnp.ones((1, 256), bool), method=model.predict_refined,
+    )
+    stats = nuscenes_evaluate(model, variables, out + "-*.arrayrecord",
+                              batch_size=1, score_threshold=0.0,
+                              refined=True)
+    assert {"mAP", "NDS", "mATE", "mAAE"} <= set(stats)
+    assert all(np.isfinite(v) for v in stats.values())

@@ -176,3 +176,48 @@ def test_single_stage_checkpoint_loads_into_two_stage():
     assert not missing
     for k in flat1:
         assert flat1[k].shape == flat2[k].shape, k
+
+
+def test_decode_boxes_analytic_peak():
+    """A planted heatmap peak decodes to its exact world box, wins the
+    global top-k, and carries the task-offset class label."""
+    from minddet_tpu.models.heads.center_head import CenterHead
+
+    head = CenterHead(task_num_classes=(1, 2))
+    h = w = 8
+    vs, osf = (0.2, 0.2, 8.0), 4
+    pcr = PCR
+
+    def blank(c):
+        return {
+            "hm": jnp.full((1, h, w, c), -8.0),
+            "reg": jnp.zeros((1, h, w, 2)),
+            "height": jnp.zeros((1, h, w, 1)),
+            "dim": jnp.zeros((1, h, w, 3)),
+            "rot": jnp.zeros((1, h, w, 2)),
+            "vel": jnp.zeros((1, h, w, 2)),
+        }
+
+    t0, t1 = blank(1), blank(2)
+    # peak in task 1, class index 1 (global label 1 + 1 = 2), cell (3, 5)
+    t1["hm"] = t1["hm"].at[0, 3, 5, 1].set(6.0)
+    t1["reg"] = t1["reg"].at[0, 3, 5].set(jnp.asarray([0.25, 0.75]))
+    t1["height"] = t1["height"].at[0, 3, 5, 0].set(-1.2)
+    t1["dim"] = t1["dim"].at[0, 3, 5].set(jnp.log(jnp.asarray([1.5, 4.0, 1.6])))
+    t1["rot"] = t1["rot"].at[0, 3, 5].set(
+        jnp.asarray([jnp.sin(0.3), jnp.cos(0.3)]))
+    t1["vel"] = t1["vel"].at[0, 3, 5].set(jnp.asarray([2.0, -1.0]))
+
+    boxes, scores, labels = head.decode_boxes(
+        [t0, t1], pc_range=pcr, voxel_size=vs, out_size_factor=osf, k=4)
+    b = np.asarray(boxes)[0, 0]
+    np.testing.assert_allclose(b[0], (5 + 0.25) * osf * vs[0] + pcr[0],
+                               rtol=1e-5)
+    np.testing.assert_allclose(b[1], (3 + 0.75) * osf * vs[1] + pcr[1],
+                               rtol=1e-5)
+    np.testing.assert_allclose(b[2], -1.2, rtol=1e-5)
+    np.testing.assert_allclose(b[3:6], [1.5, 4.0, 1.6], rtol=1e-4)
+    np.testing.assert_allclose(b[6:8], [2.0, -1.0], rtol=1e-5)
+    np.testing.assert_allclose(b[8], 0.3, rtol=1e-4)
+    assert int(np.asarray(labels)[0, 0]) == 2
+    assert float(np.asarray(scores)[0, 0]) > 0.99
