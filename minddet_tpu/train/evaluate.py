@@ -421,6 +421,7 @@ def waymo_evaluate(
     max_frames: int = 0,
     score_threshold: float = 0.1,
     range_breakdowns: bool = False,
+    refined: bool = False,
 ) -> Dict[str, Dict[str, float]]:
     """CenterPoint -> Waymo L1/L2 AP/APH (clean-room protocol,
     ``data/waymo_eval.py``). The device side is the same fused
@@ -438,11 +439,14 @@ def waymo_evaluate(
     if max_frames:
         n = min(n, max_frames)
 
+    if refined and not hasattr(model, "predict_refined"):
+        raise ValueError(
+            "refined=true needs a two-stage model (CenterPointTwoStage)")
+    method = model.predict_refined if refined else model.predict_from_points
+
     @jax.jit
     def predict(points, mask):
-        return model.apply(
-            variables, points, mask, method=model.predict_from_points
-        )
+        return model.apply(variables, points, mask, method=method)
 
     gt_annos, dt_annos = [], []
     for start in range(0, n, batch_size):
@@ -628,6 +632,7 @@ def main(argv=None) -> None:
             model, variables, args.records, max_frames=args.max_images,
             range_breakdowns=opts.get("breakdowns", "").lower()
             in ("1", "true", "yes"),
+            refined=opts.get("refined", "").lower() in ("1", "true", "yes"),
         )
         for cls, ms in table.items():
             logger.info("%s: %s", cls,

@@ -62,3 +62,27 @@ def export_detector(model, variables, example_image: jnp.ndarray, path: str, **p
         return model.apply(variables, image, method=model.predict, **predict_kwargs)
 
     return export_predict_fn(predict, (example_image,), path)
+
+
+def export_detector_3d(
+    model,
+    variables,
+    example_points: jnp.ndarray,
+    example_mask: jnp.ndarray,
+    path: str,
+    refined: bool = False,
+    **predict_kwargs,
+) -> str:
+    """Export a points-model's fused predict (voxelize + forward + decode +
+    NMS) at fixed point-capacity shapes — the reference's CenterPoint MINDIR
+    export role (``tools_ms/mindir.py:7-35`` exports at fixed
+    (4, 60000, 20, 5) voxel shapes; here the raw padded point cloud is the
+    fixed shape and voxelization is part of the program). ``refined=True``
+    exports the two-stage ``predict_refined`` program."""
+    method = model.predict_refined if refined else model.predict_from_points
+
+    def predict(points, mask):
+        return model.apply(variables, points, mask, method=method,
+                           **predict_kwargs)
+
+    return export_predict_fn(predict, (example_points, example_mask), path)

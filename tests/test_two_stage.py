@@ -221,3 +221,24 @@ def test_decode_boxes_analytic_peak():
     np.testing.assert_allclose(b[8], 0.3, rtol=1e-4)
     assert int(np.asarray(labels)[0, 0]) == 2
     assert float(np.asarray(scores)[0, 0]) > 0.99
+
+
+def test_export_3d_refined_roundtrip(tmp_path):
+    """predict_refined exports to StableHLO and the reloaded program
+    reproduces the live detections (the reference's CenterPoint MINDIR
+    export role, tools_ms/mindir.py:7-35 / eval_mindir.py:118)."""
+    from minddet_tpu.train.export import export_detector_3d, load_exported
+
+    model = _model()
+    batch = _batch()
+    vs = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                    method=model.loss_from_gt)
+    path = str(tmp_path / "cp2s.stablehlo")
+    export_detector_3d(model, vs, batch["points"], batch["points_mask"],
+                       path, refined=True, nms_pre=32, nms_post=8)
+    live = model.apply(vs, batch["points"], batch["points_mask"],
+                       method=model.predict_refined, nms_pre=32, nms_post=8)
+    reloaded = load_exported(path)(batch["points"], batch["points_mask"])
+    for k in ("boxes", "scores", "labels"):
+        np.testing.assert_allclose(np.asarray(reloaded[k]),
+                                   np.asarray(live[k]), rtol=1e-5, atol=1e-5)

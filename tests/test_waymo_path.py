@@ -258,3 +258,31 @@ def test_waymo_evaluate_path(tmp_path):
     for ms in table.values():
         assert set(ms) == {"AP_L1", "APH_L1", "AP_L2", "APH_L2"}
         assert all(np.isfinite(v) and 0 <= v <= 100 for v in ms.values())
+
+
+@pytest.mark.slow
+def test_waymo_evaluate_path_refined(tmp_path):
+    """--options refined=true route: two-stage model through waymo_evaluate."""
+    import jax
+    import jax.numpy as jnp
+
+    from minddet_tpu.models.detectors.centerpoint import CenterPointTwoStage
+    from minddet_tpu.train.evaluate import waymo_evaluate
+
+    _write_waymo_records(tmp_path, n_frames=2)
+    model = CenterPointTwoStage(
+        task_num_classes=(3,), grid_ny=80, grid_nx=80,
+        voxel_size=(1.92, 1.92, 6.0),
+        pc_range=(-76.8, -76.8, -2.0, 76.8, 76.8, 4.0),
+        max_voxels=1500, max_objs=32, num_proposals=16, refine_hidden=32,
+    )
+    pts = jnp.zeros((1, 256, 5))
+    variables = model.init(jax.random.PRNGKey(0), pts,
+                           jnp.ones((1, 256), bool),
+                           method=model.predict_refined)
+    table = waymo_evaluate(
+        model, variables, str(tmp_path / "wrec-*.arrayrecord"),
+        batch_size=1, refined=True,
+    )
+    for ms in table.values():
+        assert all(np.isfinite(v) and 0 <= v <= 100 for v in ms.values())
