@@ -315,17 +315,18 @@ def bench_pointpillars_train() -> dict:
     BATCH, STEPS = int(os.environ.get("PP_BS", "8")), 10
     pcr = (0.0, -39.68, -3.0, 69.12, 39.68, 1.0)
     # PP_S2D=1 flips the space-to-depth RPN layout for A/B measurement
-    # (tests pin output equality; only speed/executable size differ)
-    # defaults from the r4 A/B sweep (all measured end-to-end on the chip):
-    # s2d scatter+RPN 89.3 vs 85.8 samples/s; scanned inner blocks beat
-    # unrolled ones (85.2) AND load ~35 s faster at driver time. PP_S2D=0 /
-    # PP_UNROLL=1 flip them for re-measurement.
+    # (tests pin output equality; only speed/executable size differ):
+    # s2d scatter+RPN 89.3 vs 85.8 samples/s in the early-r4 sweep.
+    # PP_SCAN_MIN picks which RPN blocks scan vs unroll: the late-r4 sweep
+    # (after custom-VJP BN stats + 65-wide canvas + sort-compact) measured
+    # 161.4 / 178.5 / 191.5 / 191.6 samples/s at scan-min 2 / 4 / 6 /
+    # full-unroll — the big-activation blocks' scan stacking dominates, so
+    # blocks 0+1 unroll by default and block2 keeps the small executable.
     model = PointPillars(
         num_classes=1, dtype=jnp.bfloat16,
         rpn_space_to_depth=os.environ.get("PP_S2D", "1") != "0",
         rpn_scan_inner=not os.environ.get("PP_UNROLL"),
-        # PP_SCAN_MIN=4 unrolls just block0 (3 layers, largest activations)
-        rpn_scan_min_layers=int(os.environ.get("PP_SCAN_MIN", "2")),
+        rpn_scan_min_layers=int(os.environ.get("PP_SCAN_MIN", "6")),
         # pre-stacked scan params: no per-step kernel restack / grad unstack
         rpn_stacked_params=os.environ.get("PP_STACKED", "0") == "1")
     raw = next(synthetic_points_batches(BATCH, pcr, num_points=18000,
@@ -406,6 +407,12 @@ def bench_centerpoint_train() -> dict:
     model = CenterPoint(dtype=jnp.bfloat16,
                         rpn_space_to_depth=bool(os.environ.get("CP_S2D")),
                         rpn_scan_inner=not os.environ.get("CP_UNROLL"),
+                        # late-r4 sweep: 80.7 / 87.5 / 90.3 / 89.7
+                        # samples/s at scan-min 2 / 4 / 6 / full-unroll
+                        # (the big-activation blocks' scan stacking
+                        # dominates) — blocks 0+1 unroll by default
+                        rpn_scan_min_layers=int(
+                            os.environ.get("CP_SCAN_MIN", "6")),
                         rpn_stacked_params=os.environ.get(
                             "CP_STACKED", "0") == "1")
     raw = next(synthetic_points_batches(
@@ -798,21 +805,28 @@ def main() -> None:
     # finish, so a cap hit keeps whatever landed)
     _spawn_seq(_CORE_SEQ, max(120.0, remaining() - 5.0), done)
 
+    # remaining zoo benches share ONE child: python/jax/tunnel startup is a
+    # flat ~30-40 s per process, so grouping saves a whole startup and the
+    # later benches inherit the earlier ones' leftover slack (the r4 margin
+    # by which faster_rcnn kept missing the budget). The child prints each
+    # line as it lands, so a cap kill salvages completed metrics. Names
+    # whose estimate can't fit the leftover at all are still skipped.
+    rest = []
+    budget_left = remaining() - 5.0
+    need = 45.0  # one startup for the whole chunk
     for name in _SECONDARY_ORDER:
         if name in done:
             continue
         fn, est_cold, est_warm = _BENCHES[name]
         est = (est_cold, est_warm)[est_idx - 1]
-        # +45 s: python/jax/tunnel startup is a flat per-child cost on top
-        # of the bench estimate (measured ~5 s bare import, ~30-40 s with a
-        # live tunnel); without it a small-est child gets a cap its own
-        # startup exceeds
-        cap = min(est * 2.5 + 45.0, remaining() - 5.0)
-        if cap < est * 0.8 + 10.0:
+        if need + est * 0.8 + 10.0 > budget_left:
             print(f"bench budget low ({remaining():.0f}s left), skipping "
                   f"{name}", file=sys.stderr, flush=True)
             continue
-        _spawn_seq((name,), cap, done)
+        rest.append(name)
+        need += est
+    if rest:
+        _spawn_seq(tuple(rest), max(60.0, remaining() - 5.0), done)
 
     _flush_and_exit()
 

@@ -106,12 +106,14 @@ class CenterPoint(nn.Module):
     # checkpoint-compatible layout A/B as PointPillars.rpn_space_to_depth
     rpn_space_to_depth: bool = False
     # trade: scanned inner RPN blocks compile a smaller executable; unrolled
-    # blocks avoid the trace-time weight stacking and its backward unstack
-    # (layout copies around every scan body)
+    # blocks avoid the scan's per-layer residual stacking (late-r4 chip
+    # sweep at bs=8: 80.7 / 87.5 / 90.3 / 89.7 samples/s at scan-min
+    # 2 / 4 / 6 / full-unroll) — default unrolls the big-activation blocks
+    # 0+1 and keeps block2 scanned for executable size
     rpn_scan_inner: bool = True
     # unroll blocks shallower than this even when scanning (see
     # SECONDRPN.scan_min_layers)
-    rpn_scan_min_layers: int = 2
+    rpn_scan_min_layers: int = 6
     # store scanned RPN blocks' params pre-stacked (no per-step restack /
     # grad unstack; checkpoint layout changes — see
     # second_rpn.stack_inner_variables)
