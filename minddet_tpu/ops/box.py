@@ -10,6 +10,7 @@ w along x before rotation, l along y).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,6 +48,31 @@ def elementwise_iou(boxes1: jnp.ndarray, boxes2: jnp.ndarray, eps: float = 1e-8)
     inter = wh[..., 0] * wh[..., 1]
     union = area(boxes1) + area(boxes2) - inter
     return inter / jnp.maximum(union, eps)
+
+
+def elementwise_ciou(
+    boxes1: jnp.ndarray, boxes2: jnp.ndarray, eps: float = 1e-8
+) -> jnp.ndarray:
+    """Complete IoU between corner boxes of identical leading shape -> [...].
+
+    CIoU = IoU - center_dist^2 / enclosing_diag^2 - alpha * v, where v measures
+    aspect-ratio mismatch (Zheng et al. 2020). The YOLO v4/v5/v7 box-loss term
+    the reference only advertises (its zoo README rows ship no code).
+    """
+    iou = elementwise_iou(boxes1, boxes2, eps)
+    c1 = (boxes1[..., :2] + boxes1[..., 2:4]) * 0.5
+    c2 = (boxes2[..., :2] + boxes2[..., 2:4]) * 0.5
+    rho2 = jnp.sum((c1 - c2) ** 2, -1)
+    enc_lt = jnp.minimum(boxes1[..., :2], boxes2[..., :2])
+    enc_rb = jnp.maximum(boxes1[..., 2:4], boxes2[..., 2:4])
+    diag2 = jnp.sum((enc_rb - enc_lt) ** 2, -1)
+    w1 = jnp.maximum(boxes1[..., 2] - boxes1[..., 0], eps)
+    h1 = jnp.maximum(boxes1[..., 3] - boxes1[..., 1], eps)
+    w2 = jnp.maximum(boxes2[..., 2] - boxes2[..., 0], eps)
+    h2 = jnp.maximum(boxes2[..., 3] - boxes2[..., 1], eps)
+    v = (4.0 / jnp.pi**2) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
+    alpha = jax.lax.stop_gradient(v / jnp.maximum(1.0 - iou + v, eps))
+    return iou - rho2 / jnp.maximum(diag2, eps) - alpha * v
 
 
 def cxcywh_to_xyxy(boxes: jnp.ndarray) -> jnp.ndarray:

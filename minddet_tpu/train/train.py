@@ -38,6 +38,9 @@ import minddet_tpu.models.detectors.faster_rcnn  # noqa: F401
 import minddet_tpu.models.detectors.pointpillars  # noqa: F401
 import minddet_tpu.models.detectors.ssd  # noqa: F401
 import minddet_tpu.models.detectors.yolov3  # noqa: F401
+import minddet_tpu.models.detectors.yolov4  # noqa: F401
+import minddet_tpu.models.detectors.yolov5  # noqa: F401
+import minddet_tpu.models.detectors.yolov7  # noqa: F401
 import minddet_tpu.models.detectors.yolov8  # noqa: F401
 import minddet_tpu.models.detectors.yolox  # noqa: F401
 import minddet_tpu.models.segmentors  # noqa: F401

@@ -11,9 +11,13 @@ import pytest
 
 from minddet_tpu.models.detectors.ssd import SSD, ssd_anchors
 from minddet_tpu.models.detectors.yolov3 import YOLOv3
+from minddet_tpu.models.detectors.yolov4 import YOLOv4
+from minddet_tpu.models.detectors.yolov5 import YOLOv5, yolov5_assign
+from minddet_tpu.models.detectors.yolov7 import YOLOv7
 from minddet_tpu.models.detectors.yolov8 import YOLOv8, dfl_decode
 from minddet_tpu.models.detectors.yolox import YOLOX, simota_assign, yolo_grid
 from minddet_tpu.models.segmentors import DeepLabV3Plus, UNet, miou, segmentation_loss
+from minddet_tpu.ops.box import elementwise_ciou, elementwise_iou
 
 
 def _det_batch(rng, b, hw, g=3):
@@ -154,6 +158,92 @@ def test_yolov3_end_to_end():
 
 
 # ---------------------------------------------------------------------------
+# Anchor family (v4/v5/v7)
+# ---------------------------------------------------------------------------
+
+def test_ciou_golden():
+    a = jnp.array([[0.0, 0.0, 10.0, 10.0]])
+    # identical boxes: CIoU == IoU == 1
+    np.testing.assert_allclose(np.asarray(elementwise_ciou(a, a)), [1.0], atol=1e-6)
+    # disjoint, same shape: IoU 0, penalty = center_dist^2/diag^2 (v-term zero)
+    b = jnp.array([[20.0, 0.0, 30.0, 10.0]])
+    # centers (5,5) and (25,5): d2=400; enclosure (0,0)-(30,10): diag2=1000
+    np.testing.assert_allclose(np.asarray(elementwise_ciou(a, b)), [-0.4], atol=1e-6)
+    # aspect mismatch adds the (detached-alpha) v penalty
+    c = jnp.array([[0.0, 0.0, 20.0, 5.0]])
+    iou = float(elementwise_iou(a, c)[0])
+    v = (4 / np.pi**2) * (np.arctan(20 / 5) - np.arctan(1)) ** 2
+    # same enclosure diag for both: rho2 = (5-10)^2 + (5-2.5)^2 = 31.25, diag2 = 500
+    expect = iou - 31.25 / 500 - (v / (1 - iou + v)) * v
+    np.testing.assert_allclose(np.asarray(elementwise_ciou(a, c)), [expect], rtol=1e-5)
+
+
+def test_yolov5_assign_cross_grid():
+    anchors = jnp.array([[16.0, 16.0], [200.0, 200.0]])
+    # GT centered at (12, 20) on an 8-stride 4x4 grid: cell (x=1, y=2),
+    # frac (0.5, 0.5) -> neighbors x+1 and y+1 (frac >= 0.5 picks the +1 side)
+    gt = jnp.array([[4.0, 12.0, 20.0, 28.0]])  # 16x16 box
+    pos, tbox, tcls = yolov5_assign(
+        gt, jnp.array([3]), jnp.array([True]), anchors, 8.0, (4, 4)
+    )
+    pos = np.asarray(pos).reshape(4, 4, 2)
+    # anchor 0 (16x16, ratio 1) matches; anchor 1 (200x200, ratio 12.5) gated out
+    assert pos[..., 1].sum() == 0
+    assert pos[2, 1, 0] == 1.0           # center cell
+    assert pos[2, 2, 0] == 1.0           # x neighbor
+    assert pos[3, 1, 0] == 1.0           # y neighbor
+    assert pos[..., 0].sum() == 3
+    tb = np.asarray(tbox).reshape(4, 4, 2, 4)
+    np.testing.assert_allclose(tb[2, 1, 0], [4, 12, 20, 28])
+    assert np.asarray(tcls).reshape(4, 4, 2)[2, 1, 0] == 3
+    # masked-out GT assigns nothing
+    pos0, _, _ = yolov5_assign(
+        gt, jnp.array([3]), jnp.array([False]), anchors, 8.0, (4, 4)
+    )
+    assert np.asarray(pos0).sum() == 0
+
+
+@pytest.mark.slow
+def test_yolov5_end_to_end():
+    model = YOLOv5(num_classes=4, image_hw=(64, 64))
+    rng = np.random.RandomState(6)
+    batch = _det_batch(rng, 1, 64)
+    variables = model.init(jax.random.PRNGKey(0), batch["image"])
+    outs = model.apply(variables, batch["image"])
+    assert outs[0].shape == (1, 8, 8, 3, 9)   # stride 8
+    assert outs[2].shape == (1, 2, 2, 3, 9)   # stride 32
+    _check_loss_grads(model, variables, batch, {"box_loss", "obj_loss", "cls_loss"})
+    out = model.apply(variables, batch["image"], 0.0, 0.45, 8, 64, method=model.predict)
+    assert out["boxes"].shape == (1, 8, 4)
+
+
+@pytest.mark.slow
+def test_yolov4_end_to_end():
+    model = YOLOv4(num_classes=4, image_hw=(64, 64), width_mult=0.25)
+    rng = np.random.RandomState(7)
+    batch = _det_batch(rng, 1, 64)
+    variables = model.init(jax.random.PRNGKey(0), batch["image"])
+    outs = model.apply(variables, batch["image"])
+    assert outs[0].shape == (1, 8, 8, 3, 9)
+    _check_loss_grads(model, variables, batch, {"box_loss", "obj_loss", "cls_loss"})
+    out = model.apply(variables, batch["image"], 0.0, 0.45, 8, 64, method=model.predict)
+    assert out["boxes"].shape == (1, 8, 4)
+
+
+@pytest.mark.slow
+def test_yolov7_end_to_end():
+    model = YOLOv7(num_classes=4, image_hw=(64, 64), width_mult=0.25)
+    rng = np.random.RandomState(8)
+    batch = _det_batch(rng, 1, 64)
+    variables = model.init(jax.random.PRNGKey(0), batch["image"])
+    outs = model.apply(variables, batch["image"])
+    assert outs[0].shape == (1, 8, 8, 3, 9)
+    _check_loss_grads(model, variables, batch, {"box_loss", "obj_loss", "cls_loss"})
+    out = model.apply(variables, batch["image"], 0.0, 0.45, 8, 64, method=model.predict)
+    assert out["boxes"].shape == (1, 8, 4)
+
+
+# ---------------------------------------------------------------------------
 # Segmentation
 # ---------------------------------------------------------------------------
 
@@ -217,6 +307,9 @@ def test_zoo_fast_smoke_all_families():
     loss_of(YOLOX(num_classes=4, image_hw=(64, 64)), batch64)
     loss_of(YOLOv8(num_classes=4, image_hw=(64, 64)), batch64)
     loss_of(YOLOv3(num_classes=4, image_hw=(64, 64)), batch64)
+    loss_of(YOLOv5(num_classes=4, image_hw=(64, 64)), batch64)
+    loss_of(YOLOv4(num_classes=4, image_hw=(64, 64), width_mult=0.25), batch64)
+    loss_of(YOLOv7(num_classes=4, image_hw=(64, 64), width_mult=0.25), batch64)
 
     image = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
     mask = jnp.asarray(rng.randint(0, 5, (1, 64, 64)))
