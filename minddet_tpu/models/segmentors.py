@@ -1,9 +1,11 @@
-"""Semantic segmentation models: DeepLabV3+ (ASPP) and UNet, plus losses/mIoU.
+"""Semantic segmentation models: DeepLabV3 / V3+ (ASPP) and UNet, plus losses/mIoU.
 
-Completes the README-promised segmentation zoo (reference ships none;
-BASELINE names "DeepLabV3+ ResNet-101 and UNet segmentation (ASPP dilated
-convs, no box ops)"). NHWC Flax; dilated convolutions map directly onto XLA's
-``rhs_dilation`` and fuse fine on the MXU.
+Completes the README-promised segmentation zoo (reference advertises
+"deeplab v3", "deeplab v3 plus" and "unet" at ``README.md:17-19`` but ships
+none). NHWC Flax; dilated convolutions map directly onto XLA's
+``rhs_dilation`` and fuse fine on the MXU. DeepLabV3 is the decoder-less
+variant (ASPP head straight to logits); V3+ adds the low-level-feature
+decoder.
 """
 
 from __future__ import annotations
@@ -58,6 +60,7 @@ class DeepLabV3Plus(nn.Module):
     depth: int = 101
     aspp_features: int = 256
     output_stride: int = 16  # dilated backbone (ASPP sees /16 features)
+    use_decoder: bool = True  # False -> plain DeepLabV3 (no low-level decoder)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -68,15 +71,16 @@ class DeepLabV3Plus(nn.Module):
             dtype=self.dtype, name="backbone",
         )(image.astype(self.dtype), train=train)
         x = ASPP(self.aspp_features, dtype=self.dtype, name="aspp")(c5, train=train)
-        x = _resize(x, c2.shape[1:3])
-        low = nn.Conv(48, (1, 1), use_bias=False, dtype=self.dtype, name="low_proj")(c2)
-        low = nn.BatchNorm(not train, momentum=0.9, dtype=self.dtype, name="low_bn")(low)
-        x = jnp.concatenate([x, nn.relu(low)], -1)
-        for i in range(2):
-            x = nn.Conv(256, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
-                        name=f"dec{i}")(x)
-            x = nn.BatchNorm(not train, momentum=0.9, dtype=self.dtype, name=f"dec{i}_bn")(x)
-            x = nn.relu(x)
+        if self.use_decoder:
+            x = _resize(x, c2.shape[1:3])
+            low = nn.Conv(48, (1, 1), use_bias=False, dtype=self.dtype, name="low_proj")(c2)
+            low = nn.BatchNorm(not train, momentum=0.9, dtype=self.dtype, name="low_bn")(low)
+            x = jnp.concatenate([x, nn.relu(low)], -1)
+            for i in range(2):
+                x = nn.Conv(256, (3, 3), padding=1, use_bias=False, dtype=self.dtype,
+                            name=f"dec{i}")(x)
+                x = nn.BatchNorm(not train, momentum=0.9, dtype=self.dtype, name=f"dec{i}_bn")(x)
+                x = nn.relu(x)
         logits = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="out")(x)
         return _resize(logits.astype(jnp.float32), (ih, iw))
 
@@ -86,6 +90,14 @@ class DeepLabV3Plus(nn.Module):
 
     def predict(self, image: jnp.ndarray) -> jnp.ndarray:
         return jnp.argmax(self(image, train=False), axis=-1)
+
+
+@DETECTORS.register_module()
+class DeepLabV3(DeepLabV3Plus):
+    """Decoder-less DeepLab v3 (ASPP head straight to logits) — the
+    reference README's separate "deeplab v3" row (``README.md:17``)."""
+
+    use_decoder: bool = False
 
 
 @DETECTORS.register_module()

@@ -16,7 +16,13 @@ from minddet_tpu.models.detectors.yolov5 import YOLOv5, yolov5_assign
 from minddet_tpu.models.detectors.yolov7 import YOLOv7
 from minddet_tpu.models.detectors.yolov8 import YOLOv8, dfl_decode
 from minddet_tpu.models.detectors.yolox import YOLOX, simota_assign, yolo_grid
-from minddet_tpu.models.segmentors import DeepLabV3Plus, UNet, miou, segmentation_loss
+from minddet_tpu.models.segmentors import (
+    DeepLabV3,
+    DeepLabV3Plus,
+    UNet,
+    miou,
+    segmentation_loss,
+)
 from minddet_tpu.ops.box import elementwise_ciou, elementwise_iou
 
 
@@ -313,10 +319,16 @@ def test_zoo_fast_smoke_all_families():
 
     image = jnp.asarray(rng.rand(1, 64, 64, 3).astype(np.float32))
     mask = jnp.asarray(rng.randint(0, 5, (1, 64, 64)))
-    model = DeepLabV3Plus(num_classes=5, depth=18)
-    variables = model.init(jax.random.PRNGKey(0), image)
-    (total, _), _ = model.apply(
-        variables, {"image": image, "mask": mask}, train=True,
-        method=model.loss, mutable=["batch_stats"],
-    )
-    assert np.isfinite(float(total))
+    for cls in (DeepLabV3Plus, DeepLabV3):
+        model = cls(num_classes=5, depth=18)
+        variables = model.init(jax.random.PRNGKey(0), image)
+        # plain v3 must not own decoder params; v3+ must
+        has_dec = any(k.startswith("dec") for k in variables["params"])
+        assert has_dec == (cls is DeepLabV3Plus)
+        (total, _), _ = model.apply(
+            variables, {"image": image, "mask": mask}, train=True,
+            method=model.loss, mutable=["batch_stats"],
+        )
+        assert np.isfinite(float(total))
+        pred = model.apply(variables, image, method=model.predict)
+        assert pred.shape == (1, 64, 64)
