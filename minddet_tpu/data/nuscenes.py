@@ -278,6 +278,7 @@ def create_nuscenes_infos(
         s["token"] for s in tables.tables["scene"] if s["name"] in val_scene_names
     }
     train_infos, val_infos = [], []
+    instance_ids: Dict[str, int] = {}  # instance token -> stable track id
 
     for sample in tables.tables["sample"]:
         key = tables.sample_keyframes.get(sample["token"], {})
@@ -330,6 +331,14 @@ def create_nuscenes_infos(
             "lidar_path": ref_sd["filename"],
             "timestamp": ref_time,
             "sweeps": sweeps,
+            # tracking metadata: scene grouping + lidar->global transform so
+            # detections from different frames can be linked in one frame
+            # (track.GreedyTracker / nuscenes_track_eval)
+            "scene_token": sample["scene_token"],
+            "global_from_lidar": (
+                transform_matrix(ref_pose["translation"], ref_pose["rotation"])
+                @ transform_matrix(ref_cs["translation"], ref_cs["rotation"])
+            ).astype(np.float32),
         }
 
         # ------- lidar-frame GT with velocity + attribute -------
@@ -338,7 +347,7 @@ def create_nuscenes_infos(
         q_cs_inv = quat_inverse(ref_cs["rotation"])
         r_pose_inv = quat_to_rot(ref_pose["rotation"]).T
         r_cs_inv = quat_to_rot(ref_cs["rotation"]).T
-        boxes, names, attrs, npts = [], [], [], []
+        boxes, names, attrs, npts, tids = [], [], [], [], []
         for ann in anns:
             instance = tables.get("instance", ann["instance_token"])
             cat = tables.get("category", instance["category_token"])["name"]
@@ -368,6 +377,8 @@ def create_nuscenes_infos(
             else:
                 attrs.append(-1)
             npts.append(int(ann.get("num_lidar_pts", 0)))
+            tids.append(instance_ids.setdefault(
+                ann["instance_token"], len(instance_ids)))
 
         info["gt_boxes"] = (
             np.asarray(boxes, np.float32) if boxes else np.zeros((0, 9), np.float32)
@@ -375,6 +386,7 @@ def create_nuscenes_infos(
         info["gt_names"] = names
         info["gt_attrs"] = np.asarray(attrs, np.int32)
         info["num_lidar_pts"] = np.asarray(npts, np.int32)
+        info["gt_track_ids"] = np.asarray(tids, np.int32)
 
         if sample["scene_token"] in val_scene_tokens:
             val_infos.append(info)
@@ -470,7 +482,7 @@ def nuscenes_examples(
     name_to_id = {c: i + 1 for i, c in enumerate(DETECTION_CLASSES)}
     for info in infos:
         points = load_merged_sweeps(info, root, nsweeps)
-        yield {
+        ex = {
             "points": points,
             "gt_boxes": info["gt_boxes"],
             "gt_classes": np.asarray(
@@ -481,6 +493,16 @@ def nuscenes_examples(
                 info["token"].encode().ljust(32)[:32], np.uint8
             ).copy(),
         }
+        # tracking metadata (absent from pre-tracking record sets; the
+        # tracking eval route requires records written with these fields)
+        if "scene_token" in info:
+            ex["scene"] = np.frombuffer(
+                info["scene_token"].encode().ljust(32)[:32], np.uint8).copy()
+            ex["timestamp"] = np.float64(info["timestamp"])
+            ex["global_from_lidar"] = np.asarray(
+                info["global_from_lidar"], np.float32).reshape(4, 4)
+            ex["gt_track_ids"] = np.asarray(info["gt_track_ids"], np.int32)
+        yield ex
 
 
 def create_nuscenes_records(
@@ -635,7 +657,7 @@ class NuScenesDetection:
         gc[:g] = classes[:g]
         ga[:g] = attrs[:g]
         gm[:g] = True
-        return {
+        out = {
             "points": p,
             "points_mask": (np.arange(self.max_points) < n),
             "gt_boxes": gb,
@@ -643,3 +665,17 @@ class NuScenesDetection:
             "gt_attrs": ga,
             "gt_mask": gm,
         }
+        if "scene" in rec:
+            # tracking metadata (records written post-tracking support);
+            # GT-AUG-pasted boxes carry no identity -> track id -1. The
+            # lidar->global transform is only meaningful without geometric
+            # augmentation (the eval path runs augment=False).
+            out["scene"] = rec["scene"]
+            out["timestamp"] = np.float64(rec["timestamp"])
+            out["global_from_lidar"] = np.asarray(
+                rec["global_from_lidar"], np.float32).reshape(4, 4)
+            tid = np.full((self.max_gt,), -1, np.int32)
+            src = rec["gt_track_ids"].reshape(-1)[:g]
+            tid[: len(src)] = src
+            out["gt_track_ids"] = tid
+        return out

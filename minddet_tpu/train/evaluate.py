@@ -406,6 +406,114 @@ def nuscenes_evaluate(
     return evaluate_nuscenes(gt_by_class, dt_by_class, DETECTION_CLASSES)
 
 
+def nuscenes_tracking_evaluate(
+    model,
+    variables,
+    records: str,
+    batch_size: int = 2,
+    max_frames: int = 0,
+    score_threshold: float = 0.1,
+    refined: bool = False,
+) -> Dict[str, float]:
+    """CenterPoint detections -> greedy velocity tracker -> AMOTA/AMOTP.
+
+    The reference quotes CenterPoint's tracking AMOTA
+    (``minddet/models/centerpoint/README.md:13``) but ships neither tracker
+    nor tracking eval; this route supplies both (``minddet_tpu.track`` +
+    ``data/nuscenes_track_eval``). Per-frame detection stays the single fused
+    device program from :func:`nuscenes_evaluate`; frames are grouped by
+    scene, detections are moved to the global frame via each record's
+    ``global_from_lidar``, linked by the greedy tracker, and scored with the
+    clean-room tracking protocol against ``gt_track_ids``.
+
+    Requires records written with tracking metadata (``create_nuscenes_records``
+    after the tracking fields landed); raises otherwise.
+    """
+    from minddet_tpu.data.nuscenes import DETECTION_CLASSES, NuScenesDetection
+    from minddet_tpu.data.nuscenes_track_eval import evaluate_tracking
+    from minddet_tpu.track import GreedyTracker
+
+    ds = NuScenesDetection(records, cbgs=False, augment=False)
+    n = len(ds)
+    if max_frames:
+        n = min(n, max_frames)
+    if n == 0:
+        raise ValueError("need at least one frame")
+    if "scene" not in ds[0]:
+        raise ValueError(
+            "records lack tracking metadata (scene/timestamp/"
+            "global_from_lidar/gt_track_ids); regenerate with "
+            "create_nuscenes_records"
+        )
+
+    if refined:
+        if not hasattr(model, "predict_refined"):
+            raise ValueError(
+                "refined=true needs a two-stage model (CenterPointTwoStage)")
+        method = model.predict_refined
+    else:
+        method = model.predict_from_points
+
+    @jax.jit
+    def predict(points, mask):
+        return model.apply(variables, points, mask, method=method)
+
+    def to_global(T, xyz, vel):
+        """(K,3) lidar centers + (K,2) lidar-frame velocity -> global BEV."""
+        c = xyz @ T[:3, :3].T + T[:3, 3]
+        v = vel @ T[:2, :2].T
+        return c[:, :2], v
+
+    scenes: Dict[bytes, list] = {}
+    for start in range(0, n, batch_size):
+        exs = [ds[i] for i in range(start, min(start + batch_size, n))]
+        pts = jnp.asarray(
+            _pad_batch(np.stack([e["points"] for e in exs]), batch_size))
+        msk = jnp.asarray(
+            _pad_batch(np.stack([e["points_mask"] for e in exs]), batch_size))
+        out = predict(pts, msk)
+        for bi, ex in enumerate(exs):
+            T = np.asarray(ex["global_from_lidar"], np.float64)
+            boxes = np.asarray(out["boxes"][bi])
+            scores = np.asarray(out["scores"][bi])
+            labels = np.asarray(out["labels"][bi])
+            keep = scores > score_threshold
+            boxes, scores, labels = boxes[keep], scores[keep], labels[keep]
+            dc, dv = to_global(T, boxes[:, :3], boxes[:, 6:8])
+            gm = ex["gt_mask"]
+            gb = ex["gt_boxes"][gm]
+            gc, _ = to_global(T, gb[:, :3], gb[:, 6:8])
+            scenes.setdefault(bytes(ex["scene"]), []).append({
+                "timestamp": float(ex["timestamp"]),
+                "ego": T[:2, 3].copy(),
+                "dt_centers": dc, "dt_vel": dv, "dt_classes": labels,
+                "dt_scores": scores,
+                "gt_centers": gc,
+                "gt_classes": ex["gt_classes"][gm].astype(np.int64) - 1,
+                "gt_ids": ex["gt_track_ids"][gm].astype(np.int64),
+            })
+
+    gt_scenes, dt_scenes = [], []
+    for frames in scenes.values():
+        frames.sort(key=lambda f: f["timestamp"])
+        tracker = GreedyTracker(class_names=DETECTION_CLASSES)
+        gt_sc, dt_sc = [], []
+        prev_t = None
+        for fr in frames:
+            dt = 0.0 if prev_t is None else fr["timestamp"] - prev_t
+            prev_t = fr["timestamp"]
+            ids = tracker.step(fr["dt_centers"], fr["dt_vel"],
+                               fr["dt_classes"], fr["dt_scores"], dt)
+            dt_sc.append({"centers": fr["dt_centers"], "ids": ids,
+                          "classes": fr["dt_classes"],
+                          "scores": fr["dt_scores"], "ego": fr["ego"]})
+            gt_sc.append({"centers": fr["gt_centers"], "ids": fr["gt_ids"],
+                          "classes": fr["gt_classes"], "ego": fr["ego"]})
+        gt_scenes.append(gt_sc)
+        dt_scenes.append(dt_sc)
+    return evaluate_tracking(gt_scenes, dt_scenes, DETECTION_CLASSES)
+
+
 # ---------------------------------------------------------------------------
 # Waymo: L1/L2 AP/APH
 # ---------------------------------------------------------------------------
@@ -639,11 +747,20 @@ def main(argv=None) -> None:
                         " ".join(f"{k}={v:.2f}" for k, v in ms.items()))
         return
     if protocol == "nuscenes":
-        stats = nuscenes_evaluate(
-            model, variables, args.records, max_frames=args.max_images,
-            tta=opts.get("tta", "").lower() in ("1", "true", "yes"),
-            refined=opts.get("refined", "").lower() in ("1", "true", "yes"),
-        )
+        refined = opts.get("refined", "").lower() in ("1", "true", "yes")
+        if opts.get("tracking", "").lower() in ("1", "true", "yes"):
+            # --options tracking=true: detections -> greedy velocity tracker
+            # -> AMOTA/AMOTP (reference README quotes the number, ships no code)
+            stats = nuscenes_tracking_evaluate(
+                model, variables, args.records, max_frames=args.max_images,
+                refined=refined,
+            )
+        else:
+            stats = nuscenes_evaluate(
+                model, variables, args.records, max_frames=args.max_images,
+                tta=opts.get("tta", "").lower() in ("1", "true", "yes"),
+                refined=refined,
+            )
         for k, v in stats.items():
             logger.info("%s: %.4f", k, v)
         return
