@@ -115,6 +115,35 @@ def constrain(x, spec: Optional[Sequence[Optional[str]]]):
     return jax.lax.with_sharding_constraint(x, P(*spec))
 
 
+def tp_shard_params(mesh: Mesh, params, min_size: int = 2**10):
+    """Tensor parallelism over the mesh ``model`` axis (Megatron-style lite).
+
+    Shards the OUTPUT-channel (last) dim of every conv/dense kernel — and
+    the matching per-channel vectors (BN scale/bias, biases) — over the
+    ``model`` axis; XLA's SPMD partitioner then propagates channel sharding
+    through the elementwise chain and inserts the contraction collectives
+    where a following kernel consumes the sharded channels as its input
+    dim. No module changes needed: like :func:`shard_params` this is pure
+    placement, the model code stays sharding-agnostic. (The reference has
+    no tensor parallelism at all — DP via HCCL is its only mode,
+    SURVEY.md §2.5.)
+
+    Leaves whose last dim does not divide by the axis size (or that are
+    smaller than ``min_size``) stay replicated — correctness never depends
+    on which leaves end up sharded.
+    """
+    tp = mesh.shape.get("model", 1)
+
+    def _place(x):
+        if (tp > 1 and x.ndim >= 1 and x.size >= min_size
+                and x.shape[-1] % tp == 0):
+            spec = [None] * (x.ndim - 1) + ["model"]
+            return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+        return jax.device_put(x, replicated(mesh))
+
+    return jax.tree_util.tree_map(_place, params)
+
+
 def shard_params(mesh: Mesh, params, fsdp_min_size: int = 2**18):
     """Place parameters: replicated by default; if the mesh has a non-trivial
     ``fsdp`` axis, shard the largest dim of big tensors over it (ZeRO-3-lite).

@@ -75,6 +75,47 @@ def test_spatial_shard_matches_unsharded_loss():
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 fake devices")
+def test_tensor_parallel_params_match_unsharded_loss():
+    """tp_shard_params: kernels channel-sharded over the 'model' axis must
+    produce the same loss as the replicated step (GSPMD inserts the
+    collectives; the model code is sharding-agnostic)."""
+    from minddet_tpu.parallel.mesh import tp_shard_params
+
+    batch = _batch()
+    model = _model()
+    variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           method=model.loss_from_gt)
+
+    def loss_of(vs, bt):
+        (total, _parts), _ = model.apply(vs, bt, train=True,
+                                         method=model.loss_from_gt,
+                                         mutable=["batch_stats"])
+        return total
+
+    ref = jax.jit(loss_of)(variables, batch)
+
+    mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(2, 1, 4),
+                axis_names=("data", "fsdp", "model"))
+    params_tp = tp_shard_params(mesh, variables["params"], min_size=256)
+    # at least one kernel must actually be model-sharded
+    assert any(
+        not leaf.sharding.is_fully_replicated
+        for leaf in jax.tree_util.tree_leaves(params_tp)
+    )
+    vs_tp = {"params": params_tp,
+             "batch_stats": jax.device_put(
+                 variables.get("batch_stats", {}), NamedSharding(mesh, P()))}
+    bt_sh = jax.tree_util.tree_map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))),
+        batch)
+    with mesh:
+        got = jax.jit(loss_of)(vs_tp, bt_sh)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_constrain_is_noop_without_spec():
     from minddet_tpu.parallel.mesh import constrain
 
