@@ -60,7 +60,15 @@ def _class_scene(scene: List[Dict], cls_id: int, rng: Optional[float],
         classes = np.asarray(fr["classes"], np.int64).reshape(-1)
         keep = classes == cls_id
         if rng is not None:
-            ego = np.asarray(fr.get("ego", (0.0, 0.0)), np.float64)
+            if "ego" not in fr:
+                # a silent (0, 0) default would range-drop every box of a
+                # global-frame scene (real nuScenes coords sit hundreds of
+                # meters from the map origin) and report a plausible 0.0
+                raise ValueError(
+                    "frame lacks 'ego' (BEV ego position) — required for "
+                    "the per-class max-range filter; pass class_range={} "
+                    "to disable filtering")
+            ego = np.asarray(fr["ego"], np.float64)
             keep &= np.linalg.norm(centers - ego[None], axis=1) < rng
         sel = {"centers": centers[keep],
                "ids": np.asarray(fr["ids"], np.int64).reshape(-1)[keep]}
@@ -160,6 +168,15 @@ def evaluate_tracking(
     plain CLEAR-MOT operating point — while AMOTA/AMOTP integrate over the
     recall sweep as defined above.
     """
+    if len(gt_scenes) != len(dt_scenes):
+        raise ValueError(
+            f"{len(gt_scenes)} GT scenes vs {len(dt_scenes)} DT scenes")
+    for si, (g, d) in enumerate(zip(gt_scenes, dt_scenes)):
+        if len(g) != len(d):
+            # zip would silently truncate: trailing GT would never count FN,
+            # trailing detections never FP — inflated metrics
+            raise ValueError(
+                f"scene {si}: {len(g)} GT frames vs {len(d)} DT frames")
     ranges = CLASS_RANGE if class_range is None else class_range
     per_amota, per_amotp, per_mota, total_sw = {}, {}, {}, 0
     rec_levels = np.linspace(min_recall, 1.0, n_thresholds)
@@ -179,6 +196,7 @@ def evaluate_tracking(
         total_sw += base["sw"]
         scores = np.sort(np.asarray(base["match_scores"]))[::-1]
         motar, motp = [], []
+        acc_by_th: Dict[float, Dict[str, float]] = {}
         for r in rec_levels:
             k = int(np.ceil(r * n_gt))  # matches needed for recall r
             if k <= 0 or k > len(scores):
@@ -186,7 +204,12 @@ def evaluate_tracking(
                 motp.append(dist_th)
                 continue
             th = float(scores[k - 1])
-            acc = _accumulate_class(g_sc, d_sc, dist_th, th)
+            # adjacent recall levels often share a threshold (score ties);
+            # the CLEAR-MOT accumulation is the expensive part — memoize it
+            acc = acc_by_th.get(th)
+            if acc is None:
+                acc = acc_by_th[th] = _accumulate_class(
+                    g_sc, d_sc, dist_th, th)
             rec = acc["n_match"] / n_gt
             if rec <= 0:
                 motar.append(0.0)

@@ -56,12 +56,16 @@ class _Track:
 class GreedyTracker:
     """Greedy center tracker over per-frame detections.
 
-    ``class_names`` maps integer class ids (as emitted by the detector) to
-    names used to look up the per-class gating distance; ids without a name
-    (or names without an entry) fall back to ``default_dist``.
+    ``class_names`` is REQUIRED and must be the detector's label vocabulary
+    (e.g. ``data.nuscenes.DETECTION_CLASSES``): it maps the integer class
+    ids detections carry to names used to look up the per-class gating
+    distance. A defaulted vocabulary here would silently mis-gate (the
+    detection and tracking vocabularies order classes differently). Ids
+    without a name (or names without an entry) fall back to
+    ``default_dist``.
     """
 
-    class_names: Sequence[str] = NUSCENES_TRACKING_CLASSES
+    class_names: Sequence[str]
     match_dist: Union[float, Dict[str, float], None] = None
     default_dist: float = 4.0
     max_age: int = 3
@@ -105,10 +109,12 @@ class GreedyTracker:
 
         projected = centers - velocities * float(time_lag)
         taken = np.zeros(len(self._tracks), bool)
-        matched_tracks = set()
+        new_tracks: List[_Track] = []
         for di in np.argsort(-scores, kind="mergesort"):
             best, best_d = -1, np.inf
             gate = self._gate(int(classes[di]))
+            # new detections this frame never match each other (CenterPoint
+            # greedy-tracker semantics), so only pre-existing tracks compete
             for ti, tr in enumerate(self._tracks):
                 if taken[ti] or tr.cls != classes[di]:
                     continue
@@ -123,20 +129,17 @@ class GreedyTracker:
                 tr.score = float(scores[di])
                 tr.age = 0
                 ids[di] = tr.track_id
-                matched_tracks.add(best)
             else:
                 ids[di] = self._next_id
-                self._tracks.append(_Track(
+                new_tracks.append(_Track(
                     self._next_id, centers[di].copy(), velocities[di].copy(),
                     int(classes[di]), float(scores[di])))
-                taken = np.append(taken, True)  # new track is consumed
                 self._next_id += 1
 
-        fresh_ids = set(ids.tolist())
         survivors = []
         for ti, tr in enumerate(self._tracks):
-            if ti in matched_tracks or tr.track_id in fresh_ids:
-                survivors.append(tr)  # matched this frame, or just created
+            if taken[ti]:
+                survivors.append(tr)  # matched this frame
                 continue
             tr.age += 1
             if tr.age > self.max_age:
@@ -145,21 +148,22 @@ class GreedyTracker:
             # frame's projection comparison stays aligned
             tr.center = tr.center + tr.velocity * float(time_lag)
             survivors.append(tr)
-        self._tracks = survivors
+        self._tracks = survivors + new_tracks
         return ids
 
 
 def track_sequence(
     frames: Sequence[Dict[str, np.ndarray]],
-    class_names: Sequence[str] = NUSCENES_TRACKING_CLASSES,
+    class_names: Sequence[str],
     match_dist: Union[float, Dict[str, float], None] = None,
     max_age: int = 3,
 ) -> List[np.ndarray]:
     """Run the tracker over one ordered sequence.
 
     Each frame dict: ``centers`` (N,2), ``velocities`` (N,2), ``classes``
-    (N,), ``scores`` (N,), ``timestamp`` (scalar, seconds). Returns the
-    per-frame track id arrays.
+    (N,), ``scores`` (N,), ``timestamp`` (scalar, seconds); ``classes``
+    index ``class_names`` (the detector vocabulary — see GreedyTracker).
+    Returns the per-frame track id arrays.
     """
     tracker = GreedyTracker(
         class_names=class_names, match_dist=match_dist, max_age=max_age)

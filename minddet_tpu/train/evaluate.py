@@ -431,7 +431,7 @@ def nuscenes_tracking_evaluate(
     """
     from minddet_tpu.data.nuscenes import DETECTION_CLASSES, NuScenesDetection
     from minddet_tpu.data.nuscenes_track_eval import evaluate_tracking
-    from minddet_tpu.track import GreedyTracker
+    from minddet_tpu.track import track_sequence
 
     ds = NuScenesDetection(records, cbgs=False, augment=False)
     n = len(ds)
@@ -496,21 +496,20 @@ def nuscenes_tracking_evaluate(
     gt_scenes, dt_scenes = [], []
     for frames in scenes.values():
         frames.sort(key=lambda f: f["timestamp"])
-        tracker = GreedyTracker(class_names=DETECTION_CLASSES)
-        gt_sc, dt_sc = [], []
-        prev_t = None
-        for fr in frames:
-            dt = 0.0 if prev_t is None else fr["timestamp"] - prev_t
-            prev_t = fr["timestamp"]
-            ids = tracker.step(fr["dt_centers"], fr["dt_vel"],
-                               fr["dt_classes"], fr["dt_scores"], dt)
-            dt_sc.append({"centers": fr["dt_centers"], "ids": ids,
-                          "classes": fr["dt_classes"],
-                          "scores": fr["dt_scores"], "ego": fr["ego"]})
-            gt_sc.append({"centers": fr["gt_centers"], "ids": fr["gt_ids"],
-                          "classes": fr["gt_classes"], "ego": fr["ego"]})
-        gt_scenes.append(gt_sc)
-        dt_scenes.append(dt_sc)
+        ids_per_frame = track_sequence(
+            [{"centers": f["dt_centers"], "velocities": f["dt_vel"],
+              "classes": f["dt_classes"], "scores": f["dt_scores"],
+              "timestamp": f["timestamp"]} for f in frames],
+            class_names=DETECTION_CLASSES)
+        dt_scenes.append([
+            {"centers": f["dt_centers"], "ids": ids,
+             "classes": f["dt_classes"], "scores": f["dt_scores"],
+             "ego": f["ego"]}
+            for f, ids in zip(frames, ids_per_frame)])
+        gt_scenes.append([
+            {"centers": f["gt_centers"], "ids": f["gt_ids"],
+             "classes": f["gt_classes"], "ego": f["ego"]}
+            for f in frames])
     return evaluate_tracking(gt_scenes, dt_scenes, DETECTION_CLASSES)
 
 

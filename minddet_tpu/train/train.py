@@ -336,6 +336,11 @@ def nuscenes_batches(cfg, batch_size: int, seed: int = 0):
                         num_workers=dcfg.get("workers", 4))
     for step, raw in enumerate(loader):
         raw.pop("gt_attrs", None)  # attributes feed eval, not the loss
+        # tracking metadata feeds the tracking eval route, not the loss —
+        # leaving it in would ship dead inputs into the jitted step (and
+        # change its cache key vs pre-tracking record sets)
+        for k in ("scene", "timestamp", "global_from_lidar", "gt_track_ids"):
+            raw.pop(k, None)
         raw["step"] = np.asarray(step, np.int32)
         yield raw
 

@@ -36,22 +36,12 @@ jax.config.update("jax_persistent_cache_enable_xla_caches", "all")
 # JAX's atexit clean_up() (api.py: clear_backends -> util.clear_all_caches)
 # takes 1-9+ MINUTES after heavy-compile sessions on this host (measured on
 # test_records_roundtrip_to_centerpoint_loss: tests pass in ~50 s, then the
-# interpreter sits in cache_clear for up to >545 s). Skip interpreter
-# teardown entirely: record pytest's exit status and hard-exit. Registered
-# AFTER `import jax` so (atexit being LIFO) it runs BEFORE jax's clean_up.
+# interpreter sits in cache_clear for up to >545 s). Unregister exactly that
+# handler — nothing else in teardown (multiprocessing joins, coverage
+# flushes) is affected, and the process still exits through the normal path
+# with pytest's status code.
 import atexit  # noqa: E402
 
-_exit_status = [0]
+from jax._src import api as _jax_api  # noqa: E402
 
-
-def pytest_sessionfinish(session, exitstatus):
-    _exit_status[0] = int(exitstatus)
-
-
-@atexit.register
-def _fast_exit():
-    import sys
-
-    sys.stdout.flush()
-    sys.stderr.flush()
-    os._exit(_exit_status[0])
+atexit.unregister(_jax_api.clean_up)

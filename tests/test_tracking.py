@@ -14,10 +14,12 @@ from minddet_tpu.track import GreedyTracker, track_sequence
 CLASSES = ("car", "pedestrian")
 
 
-def _frame(centers, classes, scores=None, ids=None):
+def _frame(centers, classes, scores=None, ids=None, ego=True):
     centers = np.asarray(centers, np.float64).reshape(-1, 2)
     fr = {"centers": centers,
           "classes": np.asarray(classes, np.int64)}
+    if ego:  # goldens place everything near the origin-ego
+        fr["ego"] = np.zeros(2)
     if scores is not None:
         fr["scores"] = np.asarray(scores, np.float64)
     if ids is not None:
@@ -149,8 +151,10 @@ def test_amota_recall_sweep_golden():
 def test_amota_range_filter_excludes_far_boxes():
     # GT + DT pair at 100 m from the ego: both outside the car 50 m range ->
     # neither counts, class has no GT in range -> empty result set
-    gt = [[_frame([[100.0, 0.0]], [0], ids=[0])]]
-    dt = [[_frame([[100.0, 0.0]], [0], scores=[0.9], ids=[1])]]
+    gt = [[{**_frame([[100.0, 0.0]], [0], ids=[0]),
+            "ego": np.zeros(2)}]]
+    dt = [[{**_frame([[100.0, 0.0]], [0], scores=[0.9], ids=[1]),
+            "ego": np.zeros(2)}]]
     m = evaluate_tracking(gt, dt, class_names=CLASSES)
     assert "AMOTA_car" not in m
     # with the ego placed nearby, the same pair is a clean match
@@ -158,6 +162,29 @@ def test_amota_range_filter_excludes_far_boxes():
     d2 = [[{**dt[0][0], "ego": np.array([99.0, 0.0])}]]
     m2 = evaluate_tracking(g2, d2, class_names=CLASSES)
     assert m2["AMOTA_car"] == 1.0
+    # frames WITHOUT ego must raise (a silent (0,0) default would
+    # range-drop every global-frame box and report a plausible 0.0)
+    import pytest
+
+    no_ego_g = [[_frame([[1.0, 0.0]], [0], ids=[0], ego=False)]]
+    no_ego_d = [[_frame([[1.0, 0.0]], [0], scores=[1.0], ids=[1],
+                        ego=False)]]
+    with pytest.raises(ValueError, match="ego"):
+        evaluate_tracking(no_ego_g, no_ego_d, class_names=CLASSES)
+    # ... unless range filtering is disabled explicitly
+    m3 = evaluate_tracking(no_ego_g, no_ego_d, class_names=CLASSES,
+                           class_range={})
+    assert m3["AMOTA_car"] == 1.0
+
+
+def test_tracking_eval_rejects_mismatched_frame_counts():
+    gt = [[_frame([[0.0, 0.0]], [0], ids=[0]),
+           _frame([[0.0, 0.0]], [0], ids=[0])]]
+    dt = [[_frame([[0.0, 0.0]], [0], scores=[1.0], ids=[1])]]
+    import pytest
+
+    with pytest.raises(ValueError, match="frames"):
+        evaluate_tracking(gt, dt, class_names=CLASSES, class_range={})
 
 
 def test_tracking_eval_route_e2e(tmp_path):
