@@ -12,12 +12,22 @@ Metrics (BASELINE.md / VERDICT r1 #6):
   - HEADLINE: CenterNet train throughput vs 74 img/s/chip
     (590 img/s on 8x Ascend 910, minddet/models/centernet/README.md:443-444)
 
-Budget design (VERDICT r2 item 1): every bench runs in its OWN subprocess
-with its own wall-clock cap, so one overrun can never starve the rest. The
-headline runs first with the largest slice; secondaries run cheapest-first.
-A repo-local persistent compile cache (.jax_cache, gitignored — it persists
-in the working tree across rounds) makes the driver's run start warm — cold
-remote compiles of the zoo models take tens of minutes each.
+Budget design (VERDICT r2 item 1 + r4 item 1): the headline runs FIRST in
+its own subprocess with a hard slice; everything else runs value-ordered in
+one shared child whose completed lines are salvaged even when the budget cap
+kills it. A repo-local persistent compile cache (.jax_cache) makes repeated
+runs warm — but the working tree is re-created at round transitions (the r4
+post-mortem), so the DRIVER's run starts with whatever its own earlier steps
+cached. That is why ``__graft_entry__.entry()`` returns the exact
+``_headline_setup`` program below: the driver's entry compile-check then
+seeds both the local compile cache and the server-side compile for the
+headline bench ~1 h before the bench itself runs.
+
+Measured cost structure (2026-08-20, 1-core host): remote compile of the
+26 MB headline step ~21 s; per-process executable load + params upload
+through the tunnel is the dominant cost and scales with executable size
+(~8 s/MB today, 1-2.5 s/MB on a good day); timed steps are ~1 s. Executable
+SIZE is therefore what decides whether a bench lands in the driver budget.
 """
 
 from __future__ import annotations
@@ -121,19 +131,148 @@ def _cost_analysis(lowered, compiled):
     return {}
 
 
-def _pkg_fingerprint() -> str:
-    """sha256 over the package sources: any code change invalidates the
-    cached init pytrees below (conservative but always safe)."""
+# per-bench fingerprint scopes (VERDICT r4 item 1b): each bench's init cache
+# keys on the package subpaths its program actually depends on, so e.g. a
+# tracking-eval or data-loader edit cannot cold-start the CenterNet headline
+# (the r4 failure mode). Every scope includes bench.py itself (it defines the
+# bench's shapes).
+_FP_COMMON = ("minddet_tpu/core", "minddet_tpu/ops", "minddet_tpu/models",
+              "minddet_tpu/train/loop.py", "minddet_tpu/parallel", "bench.py")
+_FP_SCOPES = {
+    "centernet": _FP_COMMON,
+    "pointpillars": _FP_COMMON + ("minddet_tpu/train/train.py",),
+    "centerpoint": _FP_COMMON + ("minddet_tpu/train/train.py",),
+    "yolov8s": _FP_COMMON,
+    "faster_rcnn": _FP_COMMON,
+    "two_stage": _FP_COMMON + ("minddet_tpu/train/train.py",),
+}
+
+
+def _fingerprint(paths) -> str:
+    """sha256 over the given repo-relative files/dirs (.py files only)."""
     import hashlib
 
     h = hashlib.sha256()
-    pkg = os.path.join(_REPO, "minddet_tpu")
-    for root, _, files in sorted(os.walk(pkg)):
-        for f in sorted(files):
-            if f.endswith(".py"):
-                with open(os.path.join(root, f), "rb") as fh:
-                    h.update(fh.read())
+    for rel in paths:
+        p = os.path.join(_REPO, rel)
+        if os.path.isfile(p):
+            files = [p]
+        else:
+            files = []
+            for root, _, names in sorted(os.walk(p)):
+                files.extend(os.path.join(root, f) for f in sorted(names)
+                             if f.endswith(".py"))
+        for f in files:
+            h.update(f.encode())
+            with open(f, "rb") as fh:
+                h.update(fh.read())
     return h.hexdigest()
+
+
+def _scope_fingerprint(name: str) -> str:
+    for scope, paths in _FP_SCOPES.items():
+        if name.startswith(scope):
+            return _fingerprint(paths)
+    return _fingerprint(_FP_COMMON)
+
+
+def _device_init(name: str, make, dtype=None):
+    """Materialize a bench's init variables ON DEVICE from a cached per-leaf
+    spec — no host->device parameter upload at all.
+
+    The tunnel moves ~2.4 s/MB (measured 2026-08-20), so shipping CenterNet's
+    60 MB f32 init from host was ~140 s of the headline child — the dominant
+    cost after the r4 executable-size work. Instead the CPU init runs ONCE
+    (same per-bench fingerprint discipline as ``_cached_init``) and only a
+    per-leaf spec {path, shape, dtype, mean, std} is persisted (a few KB);
+    every later run regenerates values in one tiny jitted program on the
+    device: zeros/constant leaves exactly (BN stats, zero-inited offset
+    convs, focal-prior biases), weight leaves as normal(mean, std) — the
+    same distribution, which is all a throughput benchmark consumes. Step
+    timing is data-independent (dense static-shape compute), so metric
+    values are unaffected; what changes is ~150 s of driver-budget upload.
+
+    ``dtype`` optionally casts float leaves (the bf16 inference benches).
+    Returns variables as nested plain dicts, resident on the default device.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    d = os.path.join(_REPO, ".jax_cache")
+    path = os.path.join(d, f"bench_spec_{name}.json")
+    fp = _scope_fingerprint(name)
+    spec = None
+    try:
+        with open(path) as f:
+            blob = json.load(f)
+        if blob.get("fingerprint") == fp:
+            spec = blob["leaves"]
+            _phase(f"init spec cache hit ({name})")
+        else:
+            _phase(f"cache_stale: bench_spec_{name} fingerprint mismatch — "
+                   "source changed since the last warm-up; rehearse before "
+                   "shipping")
+    except OSError:
+        _phase(f"init spec cold ({name})")
+    except Exception as e:
+        _phase(f"init spec unreadable ({name}): {e!r}")
+
+    if spec is None:
+        import flax
+
+        with jax.default_device(jax.devices("cpu")[0]):
+            tree = flax.serialization.to_state_dict(make())
+        leaves = []
+
+        def walk(node, pth):
+            if isinstance(node, dict):
+                for k in sorted(node):
+                    walk(node[k], pth + (k,))
+                return
+            arr = np.asarray(node)
+            leaves.append({
+                "path": list(pth), "shape": list(arr.shape),
+                "dtype": str(arr.dtype),
+                "mean": float(arr.mean()) if arr.size else 0.0,
+                "std": float(arr.std()) if arr.size else 0.0,
+            })
+
+        walk(tree, ())
+        spec = leaves
+        try:
+            os.makedirs(d, exist_ok=True)
+            with open(path, "w") as f:
+                json.dump({"fingerprint": fp, "leaves": leaves}, f)
+        except OSError:
+            pass
+        _phase(f"cpu init -> spec ({name}, {len(leaves)} leaves)")
+
+    def generate(key):
+        out: dict = {}
+        for i, leaf in enumerate(spec):
+            dt = jnp.dtype(leaf["dtype"])
+            if dtype is not None and jnp.issubdtype(dt, jnp.floating):
+                dt = dtype
+            shape = tuple(leaf["shape"])
+            mean, std = leaf["mean"], leaf["std"]
+            if std == 0.0:
+                x = jnp.full(shape, mean, dt)
+            else:
+                x = (mean + std * jax.random.normal(
+                    jax.random.fold_in(key, i), shape, jnp.float32)
+                ).astype(dt)
+            node = out
+            for p in leaf["path"][:-1]:
+                node = node.setdefault(p, {})
+            node[leaf["path"][-1]] = x
+        return out
+
+    dev = jax.devices()[0]
+    key = jax.device_put(jax.random.PRNGKey(7), dev)
+    variables = jax.jit(generate)(key)
+    _phase(f"device init generated ({name})")
+    return variables
 
 
 def _cached_init(name: str, make):
@@ -142,9 +281,10 @@ def _cached_init(name: str, make):
     model.init TRACES the whole loss program on the single host core
     (~45-65 s per heavy bench, measured) — at driver time that's pure
     repeated work, so the materialized pytree is msgpack-cached next to the
-    compile cache (both persist in the working tree across rounds) and
-    reloaded in ~1-2 s. Keyed by a package-source fingerprint; any code
-    change falls back to a fresh init and rewrites the file.
+    compile cache and reloaded in ~1-2 s. Keyed by a PER-BENCH source
+    fingerprint (``_FP_SCOPES``); a stale fingerprint falls back to a fresh
+    init, rewrites the file, and prints a loud ``cache_stale`` marker so a
+    rehearsal that rides stale caches is visible (VERDICT r4 item 1a).
     """
     import flax
     import jax
@@ -152,15 +292,20 @@ def _cached_init(name: str, make):
 
     d = os.path.join(_REPO, ".jax_cache")
     path = os.path.join(d, f"bench_init_{name}.msgpack")
-    fp = _pkg_fingerprint()
+    fp = _scope_fingerprint(name)
     try:
         with open(path, "rb") as f:
             blob = flax.serialization.msgpack_restore(f.read())
         if blob.get("fingerprint") == fp:
             _phase(f"init cache hit ({name})")
             return blob["tree"]
-    except Exception:
-        pass
+        _phase(f"cache_stale: bench_init_{name} fingerprint mismatch — "
+               "source changed since the last warm-up; rehearse before "
+               "shipping")
+    except OSError:
+        _phase(f"init cache cold ({name})")
+    except Exception as e:
+        _phase(f"init cache unreadable ({name}): {e!r}")
     def _canon(t):
         # msgpack rejects tuples; lists/dicts of arrays round-trip
         if isinstance(t, tuple):
@@ -189,7 +334,22 @@ def _cached_init(name: str, make):
     return flax.serialization.msgpack_restore(blob)["tree"]
 
 
-def bench_centernet_train() -> dict:
+def headline_setup():
+    """Build the EXACT headline program: CenterNet-R18-DCN bs=16 512x512
+    bf16 full train step + its (state, batch) on the device.
+
+    Shared verbatim with ``__graft_entry__.entry()``: the driver's entry
+    compile-check lowers/compiles this very program ~1 h before the bench
+    runs, seeding the persistent compile cache (and the server-side compile)
+    in the fresh working tree — without this the driver's bench always
+    compiles cold (r4 post-mortem: the tree is re-created at round
+    transitions, so builder-session cache warm-ups never reach the driver).
+
+    donate is OFF here (unlike the other train benches): the entry check
+    calls the function with the same args it would hand back, and donation
+    would invalidate them between calls; the A/B on chip measured the same
+    step time either way (state copies hide under the step's compute).
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -199,13 +359,13 @@ def bench_centernet_train() -> dict:
     from minddet_tpu.ops.targets import centernet_targets_batch
     from minddet_tpu.train.loop import TrainState, make_train_step
 
+    _setup_cache()
     # CN_BS: batch lever. r4 sweep: bs=32 measured 351.0 img/s (+4.5% over
     # bs=16's 336.5) on an isolated child, but its larger executable pays
     # more per-run tunnel load (squeezed faster_rcnn out of two full-budget
     # rehearsals) and one rehearsal wobbled to 303 — the stable
     # reference-comparable bs=16 stays the default.
-    BATCH, RES, NUM_CLASSES, STEPS = (
-        int(os.environ.get("CN_BS", "16")), 512, 80, 20)
+    BATCH, RES, NUM_CLASSES = int(os.environ.get("CN_BS", "16")), 512, 80
     model = CenterNet(num_classes=NUM_CLASSES, depth=18, dcn=True,
                       dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
@@ -227,24 +387,19 @@ def bench_centernet_train() -> dict:
         boxes[b, :n] = np.concatenate([xy, xy + wh], 1)
         mask[b, :n] = True
 
-    # init runs as an EAGER op-by-op program; through the axon tunnel each
-    # eager dispatch pays a remote round trip (~185 s total measured), so
-    # run it on the CPU backend. Everything ELSE materializes ON DEVICE in
-    # three tiny jitted programs: host->device transfer through the tunnel
-    # is the dominant cost of this child (~150 s measured for the old
-    # ~315 MB f32 device_put: params 60 + Adam zeros 120 + target maps 84 +
-    # image 50), so ship only the ~75 MB of params/BN stats and the
-    # few-KB box lists — opt-state zeros, Gaussian target maps and the
-    # random image are cheaper to COMPUTE remotely than to SEND.
+    # EVERYTHING heavy materializes ON DEVICE: params/BN stats regenerate
+    # from the cached per-leaf spec in one jitted program (``_device_init``
+    # — the old 60 MB f32 device_put was ~140 s of this child at the
+    # tunnel's 2.4 s/MB), opt-state zeros / Gaussian target maps / the
+    # random image compute remotely in three more tiny jitted programs.
+    # Only the few-KB box lists ship from host.
     tx = adamw(5e-4, clip_global_norm=35.0)
-    with jax.default_device(jax.devices("cpu")[0]):
-        variables = _cached_init(
-            "centernet_vars",
-            lambda: model.init(rng, jnp.asarray(image_np[:1]), train=False))
-    _phase("cpu init done")
+    variables = _device_init(
+        "centernet_vars",
+        lambda: model.init(rng, jnp.asarray(image_np[:1]), train=False))
     dev = jax.devices()[0]
-    params = jax.device_put(variables["params"], dev)
-    bstats = jax.device_put(variables.get("batch_stats", {}), dev)
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
     small = jax.device_put(
         {"boxes": boxes, "classes": classes, "mask": mask,
          "key": jax.random.PRNGKey(0)}, dev)
@@ -263,13 +418,25 @@ def bench_centernet_train() -> dict:
             method=model.loss, mutable=["batch_stats"],
         )
 
-    step_fn = make_train_step(loss_apply, donate=True)
+    step_fn = make_train_step(loss_apply, donate=False)
+    return step_fn, state, batch, BATCH
+
+
+def bench_centernet_train() -> dict:
+    step_fn, state, batch, BATCH = headline_setup()
+    STEPS = 20
     traced = step_fn.trace(state, batch)
     lowered = traced.lower()
     _phase("lowered")
     compiled = lowered.compile()
     cost = _analytic_cost(traced) or _cost_analysis(lowered, compiled)
     _phase("compiled (cache hit = local)")
+    import jax
+
+    # decompose first-sync: uploads (params shipped at device_put, running
+    # asynchronously under trace/compile) vs the executable load proper
+    jax.block_until_ready((state, batch))
+    _phase("inputs resident on device")
     state, metrics = compiled(state, batch)
     _sync(metrics["loss"])
     _phase("first step synced (executable load)")
@@ -333,21 +500,20 @@ def bench_pointpillars_train() -> dict:
                                         max_gt=24))
     raw.pop("step", None)
     _phase("data ready")
-    # init eagerly on CPU (each eager TPU dispatch pays a tunnel round trip)
     with jax.default_device(jax.devices("cpu")[0]):
         cpu_batch = {k: jnp.asarray(v) for k, v in raw.items()}
         cpu_batch.update(model.anchor_set())
-        variables = _cached_init(
-            ("pointpillars" if os.environ.get("PP_S2D", "1") == "0"
-             else "pointpillars_s2d")
-            + ("_stk" if model.rpn_stacked_params else ""),
-            lambda: model.init({"params": jax.random.PRNGKey(0)}, cpu_batch,
-                               method=model.loss_from_gt))
-    _phase("cpu init done")
+    # params regenerate on device from the cached leaf spec (no upload)
+    variables = _device_init(
+        ("pointpillars" if os.environ.get("PP_S2D", "1") == "0"
+         else "pointpillars_s2d")
+        + ("_stk" if model.rpn_stacked_params else ""),
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, cpu_batch,
+                           method=model.loss_from_gt))
     dev = jax.devices()[0]
     tx = adamw(2e-4)
-    params = jax.device_put(variables["params"], dev)
-    bstats = jax.device_put(variables.get("batch_stats", {}), dev)
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
     # Adam zeros materialize on device — host->device bytes are the
     # bottleneck under the tunnel, not FLOPs
     state = jax.jit(lambda p, b: TrainState.create(p, b, tx))(params, bstats)
@@ -422,16 +588,15 @@ def bench_centerpoint_train() -> dict:
     _phase("data ready")
     with jax.default_device(jax.devices("cpu")[0]):
         cpu_batch = {k: jnp.asarray(v) for k, v in raw.items()}
-        variables = _cached_init(
-            ("centerpoint_s2d" if os.environ.get("CP_S2D") else "centerpoint")
-            + ("_stk" if model.rpn_stacked_params else ""),
-            lambda: model.init({"params": jax.random.PRNGKey(0)}, cpu_batch,
-                               method=model.loss_from_gt))
-    _phase("cpu init done")
+    variables = _device_init(
+        ("centerpoint_s2d" if os.environ.get("CP_S2D") else "centerpoint")
+        + ("_stk" if model.rpn_stacked_params else ""),
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, cpu_batch,
+                           method=model.loss_from_gt))
     dev = jax.devices()[0]
     tx = adamw(1e-3, clip_global_norm=35.0)
-    params = jax.device_put(variables["params"], dev)
-    bstats = jax.device_put(variables.get("batch_stats", {}), dev)
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
     # Adam zeros materialize on device (see bench_pointpillars_train)
     state = jax.jit(lambda p, b: TrainState.create(p, b, tx))(params, bstats)
     batch = jax.device_put(cpu_batch, dev)
@@ -533,20 +698,6 @@ def bench_decode_nms_p50() -> dict:
     }
 
 
-def _bf16_params(variables):
-    """Cast f32 param leaves to bf16 before device_put: these inference
-    models compute in bf16 anyway, and host->device bytes through the
-    tunnel are the child's dominant cost (Faster R-CNN R50: ~160 MB f32)."""
-    import jax
-    import jax.numpy as jnp
-
-    def cast(x):
-        x = jnp.asarray(x)
-        return x.astype(jnp.bfloat16) if x.dtype == jnp.float32 else x
-
-    return jax.tree_util.tree_map(cast, variables)
-
-
 def _bench_infer(model, variables, image, steps=30):
     """bs=1 PIPELINED inference throughput (not per-call latency): all steps
     are dispatched back-to-back and synced once, keeping the device queue
@@ -577,13 +728,12 @@ def bench_yolov8s_infer() -> dict:
 
     model = YOLOv8(num_classes=80, image_hw=(640, 640), dtype=jnp.bfloat16)
     image_np = np.random.RandomState(0).rand(1, 640, 640, 3).astype(np.float32)
-    # eager init on CPU — each eager TPU dispatch pays a tunnel round trip
-    with jax.default_device(jax.devices("cpu")[0]):
-        variables = _cached_init(
-            "yolov8s",
-            lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(image_np)))
+    # params regenerate on device, directly in bf16 (no upload)
+    variables = _device_init(
+        "yolov8s",
+        lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(image_np)),
+        dtype=jnp.bfloat16)
     dev = jax.devices()[0]
-    variables = jax.device_put(_bf16_params(variables), dev)
     image = jax.device_put(image_np, dev)
     ips = _bench_infer(model, variables, image)
     return {
@@ -606,14 +756,13 @@ def bench_faster_rcnn_infer() -> dict:
                        dtype=jnp.bfloat16)
     image_np = np.random.RandomState(0).rand(1, 512, 512, 3).astype(np.float32)
     # init through predict (the ROI box head only materializes on that
-    # path), eagerly on CPU — eager TPU dispatches are tunnel round trips
-    with jax.default_device(jax.devices("cpu")[0]):
-        variables = _cached_init(
-            "faster_rcnn",
-            lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(image_np),
-                               method=model.predict))
+    # path); params regenerate on device in bf16 (no upload)
+    variables = _device_init(
+        "faster_rcnn",
+        lambda: model.init(jax.random.PRNGKey(0), jnp.asarray(image_np),
+                           method=model.predict),
+        dtype=jnp.bfloat16)
     dev = jax.devices()[0]
-    variables = jax.device_put(_bf16_params(variables), dev)
     image = jax.device_put(image_np, dev)
     ips = _bench_infer(model, variables, image, steps=20)
     return {
@@ -626,24 +775,88 @@ def bench_faster_rcnn_infer() -> dict:
 
 
 # name -> (fn, cold-cache wall estimate s, warm-cache estimate s).
-# Warm numbers measured 2026-08-18 (the tunnel's executable-load cost
-# collapsed from ~10 s/MB in r3 to ~1-2.5 s/MB): centernet ~105 s (66 s of
-# that is loading the 26 MB step), decode ~7 s, pointpillars ~45 s,
-# centerpoint ~110 s, yolov8s ~70 s. Cold numbers include remote compiles.
+# Estimates are DOCUMENTATION ONLY now (the r4 estimate-based skipping
+# starved real benches and is gone); fake-bench tests still override them.
 _HEADLINE = "centernet_train"
 _BENCHES = {
-    "centernet_train": (bench_centernet_train, 2100, 130),
-    "decode_nms": (bench_decode_nms_p50, 300, 30),
-    "pointpillars_train": (bench_pointpillars_train, 1900, 70),
-    "centerpoint_train": (bench_centerpoint_train, 2400, 140),
-    "yolov8s_infer": (bench_yolov8s_infer, 1200, 90),
-    # rcnn warm: 185 s measured 2026-08-18 (09:42-09:45 child), most of it
-    # CPU-side eager predict-path init — now msgpack-cached like the others
-    "faster_rcnn_infer": (bench_faster_rcnn_infer, 3000, 160),
+    "centernet_train": (bench_centernet_train, 600, 260),
+    "decode_nms": (bench_decode_nms_p50, 120, 35),
+    "pointpillars_train": (bench_pointpillars_train, 600, 250),
+    "centerpoint_train": (bench_centerpoint_train, 700, 260),
+    "yolov8s_infer": (bench_yolov8s_infer, 400, 150),
+    "faster_rcnn_infer": (bench_faster_rcnn_infer, 600, 200),
 }
-# secondaries cheapest-first so a tight budget lands the most lines
+# the six metrics the driver run reports; two_stage (below) is an extra
+# --one lever, not part of the budgeted set
+_DRIVER_SET = tuple(_BENCHES)
+# secondaries value-ordered (VERDICT r4 requires headline + decode + PP + CP
+# driver-captured), cheap first within that
 _SECONDARY_ORDER = ("decode_nms", "pointpillars_train", "centerpoint_train",
                     "yolov8s_infer", "faster_rcnn_infer")
+
+
+def bench_two_stage() -> dict:
+    """CenterPointTwoStage full train step (stage-1 + NMS-free proposals +
+    BEV refinement) at nuScenes scale — the beyond-reference second stage's
+    perf spot (VERDICT r4 item 9). Not in the driver's budgeted set; run
+    with ``python bench.py --one two_stage``."""
+    import jax
+    import jax.numpy as jnp
+
+    from minddet_tpu.core.optim import adamw
+    from minddet_tpu.models.detectors.centerpoint import CenterPointTwoStage
+    from minddet_tpu.train.loop import TrainState, make_train_step
+    from minddet_tpu.train.train import synthetic_points_batches
+
+    BATCH, STEPS = int(os.environ.get("TS_BS", "8")), 10
+    pcr = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
+    model = CenterPointTwoStage(
+        dtype=jnp.bfloat16,
+        rpn_scan_min_layers=int(os.environ.get("CP_SCAN_MIN", "6")))
+    raw = next(synthetic_points_batches(
+        BATCH, pcr, num_points=120000, max_gt=64, num_classes=10,
+        num_features=5, box_dim=9))
+    raw.pop("step", None)
+    with jax.default_device(jax.devices("cpu")[0]):
+        cpu_batch = {k: jnp.asarray(v) for k, v in raw.items()}
+    variables = _device_init(
+        "two_stage",
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, cpu_batch,
+                           method=model.loss_from_gt))
+    dev = jax.devices()[0]
+    tx = adamw(1e-3, clip_global_norm=35.0)
+    params = variables["params"]
+    bstats = variables.get("batch_stats", {})
+    state = jax.jit(lambda p, b: TrainState.create(p, b, tx))(params, bstats)
+    batch = jax.device_put(cpu_batch, dev)
+    _phase("device_put done")
+
+    def loss_apply(vs, b, train=True):
+        return model.apply(vs, b, train=train, method=model.loss_from_gt,
+                           mutable=["batch_stats"])
+
+    step_fn = make_train_step(loss_apply, donate=True)
+    compiled = step_fn.trace(state, batch).lower().compile()
+    _phase("compiled")
+    state, metrics = compiled(state, batch)
+    _sync(metrics["loss"])
+    _phase("first step synced")
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = compiled(state, batch)
+    _sync(metrics["loss"])
+    dt = time.perf_counter() - t0
+    sps = BATCH * STEPS / dt
+    return {
+        "metric": "centerpoint_two_stage_train_samples_per_sec_per_chip",
+        "value": round(sps, 2),
+        "unit": f"samples/s/chip (bs={BATCH}, stage1+refine, 512x512 canvas, "
+                "120k pts; beyond-reference — no baseline)",
+        "vs_baseline": None,
+    }
+
+
+_BENCHES["two_stage"] = (bench_two_stage, 700, 280)
 
 
 def _install_fake_benches() -> None:
@@ -669,10 +882,6 @@ def _install_fake_benches() -> None:
         old = _BENCHES[name]
         _BENCHES[name] = (make(name, metric),
                           est or old[1], est or old[2])
-# the one-process core chunk: headline first, then the metrics VERDICT r3
-# item 1 requires, then centerpoint (all four fit ~360 s warm, measured)
-_CORE_SEQ = ("centernet_train", "decode_nms", "pointpillars_train",
-             "centerpoint_train")
 _METRIC_TO_NAME = {
     "centernet_r18dcn_train_img_per_sec_per_chip": "centernet_train",
     "decode_rotated_nms_p50_ms": "decode_nms",
@@ -724,7 +933,10 @@ def _spawn_seq(names, timeout_s: float, done: dict) -> None:
         stderr = e.stderr.decode() if isinstance(e.stderr, bytes) else (
             e.stderr or "")
         rc = "timeout"
-        print(f"bench chunk {names} hit its {timeout_s:.0f}s cap",
+        # the child's per-phase stderr timestamps make the kill attributable
+        # (the r4 wipeout left no trace of WHERE the child was stuck)
+        print(f"bench chunk {names} hit its {timeout_s:.0f}s cap; child "
+              f"stderr tail:\n{(stderr or '')[-1500:]}",
               file=sys.stderr, flush=True)
     if rc not in (0, "timeout"):
         print(f"bench chunk {names} rc={rc}:\n{(stderr or '')[-2000:]}",
@@ -735,29 +947,26 @@ def _spawn_seq(names, timeout_s: float, done: dict) -> None:
 def main() -> None:
     """Parent orchestration for the driver's fixed wall budget.
 
-    The three must-land metrics (headline CenterNet train, decode+NMS,
-    PointPillars train) run sequentially in ONE child process: the dominant
-    cost is the tunnel's per-executable load (~10 s/MB) plus ~30-40 s of
-    python/jax startup per process, so sharing one process buys a whole
-    extra metric. Each completed line prints immediately (a hard kill keeps
-    everything already finished); remaining zoo benches get their own
-    subprocesses with individual caps. At exit (or SIGTERM/SIGINT) the lines
-    re-print in canonical order with the headline LAST, plus a
-    'bench_incomplete' marker when anything is missing (ADVICE r2)."""
+    Layout (VERDICT r4 item 1c/d): the HEADLINE runs first, ALONE, in its
+    own child with a hard slice that always leaves room for the cheap
+    decode bench — r3's layout landed the headline this way and r4's shared
+    chunk didn't. The five secondaries then share ONE child (one python/jax/
+    tunnel startup), value-ordered, printing each JSON line the moment it
+    lands; the budget cap kills the child wherever it is and the parent
+    salvages everything already printed. There is NO estimate-based
+    skipping anymore: r4's estimates mis-skipped real benches, and salvage
+    makes skipping pointless. At exit (or SIGTERM/SIGINT) lines re-print in
+    canonical order with the headline LAST, plus a 'bench_incomplete'
+    marker when anything is missing (ADVICE r2)."""
     import signal
 
     start = time.monotonic()
     budget = float(os.environ.get("BENCH_BUDGET_S", "480"))
-    warm = os.path.isdir(os.path.join(_REPO, ".jax_cache")) and any(
-        f != ".probe" for f in os.listdir(os.path.join(_REPO, ".jax_cache")))
-    if os.environ.get("BENCH_ASSUME_COLD"):  # cache-repopulation runs
-        warm = False
-    est_idx = 2 if warm else 1
 
     done: dict = {}
 
     def _flush_and_exit(signum=None, frame=None):
-        missing = [n for n in _BENCHES if n not in done]
+        missing = [n for n in _DRIVER_SET if n not in done]
         if missing:
             print(json.dumps({
                 "metric": "bench_incomplete", "value": len(missing),
@@ -800,33 +1009,20 @@ def main() -> None:
         }), flush=True)
         _flush_and_exit()
 
-    # core chunk: headline + the two VERDICT-required secondaries, one
-    # process, essentially the whole budget (the child prints lines as they
-    # finish, so a cap hit keeps whatever landed)
-    _spawn_seq(_CORE_SEQ, max(120.0, remaining() - 5.0), done)
+    # headline child, ALONE: its slice reserves ~90 s at the tail so the
+    # cheap decode bench lands even if the headline hangs to its cap.
+    # Warm path today: ~260 s (startup 15 + init reload 4 + lambda hits 8 +
+    # trace/lower 15 + compile-cache hit 20 + executable load/first-sync
+    # ~200 + 20 timed steps ~1).
+    headline_cap = max(60.0, min(remaining() - 90.0, 370.0))
+    headline_cap = min(headline_cap, max(10.0, remaining() - 5.0))
+    _spawn_seq((_HEADLINE,), headline_cap, done)
 
-    # remaining zoo benches share ONE child: python/jax/tunnel startup is a
-    # flat ~30-40 s per process, so grouping saves a whole startup and the
-    # later benches inherit the earlier ones' leftover slack (the r4 margin
-    # by which faster_rcnn kept missing the budget). The child prints each
-    # line as it lands, so a cap kill salvages completed metrics. Names
-    # whose estimate can't fit the leftover at all are still skipped.
-    rest = []
-    budget_left = remaining() - 5.0
-    need = 45.0  # one startup for the whole chunk
-    for name in _SECONDARY_ORDER:
-        if name in done:
-            continue
-        fn, est_cold, est_warm = _BENCHES[name]
-        est = (est_cold, est_warm)[est_idx - 1]
-        if need + est * 0.8 + 10.0 > budget_left:
-            print(f"bench budget low ({remaining():.0f}s left), skipping "
-                  f"{name}", file=sys.stderr, flush=True)
-            continue
-        rest.append(name)
-        need += est
-    if rest:
-        _spawn_seq(tuple(rest), max(60.0, remaining() - 5.0), done)
+    # secondaries share ONE child, value-ordered; the cap kills it wherever
+    # it is and completed lines are salvaged.
+    rest = tuple(n for n in _SECONDARY_ORDER if n not in done)
+    if rest and remaining() > 20.0:
+        _spawn_seq(rest, remaining() - 8.0, done)
 
     _flush_and_exit()
 

@@ -12,6 +12,8 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 _BENCH = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "bench.py")
 
@@ -40,17 +42,32 @@ def test_all_benches_land_and_headline_prints_last():
     assert len(set(metrics)) == 6
 
 
-def test_core_chunk_salvages_partials_when_capped():
-    # headline finishes instantly, decode sleeps past the budget: the core
-    # chunk gets killed but the headline's already-printed line is salvaged
-    # and the marker names what never ran
-    spec = {"decode_nms": {"sleep": 300}}
-    proc, lines = _run(12, spec, timeout=180)
+def test_secondary_chunk_salvages_partials_when_capped():
+    # headline + decode finish instantly, pointpillars sleeps past the
+    # budget: the secondary chunk is killed mid-sleep but decode's
+    # already-printed line is salvaged and the marker names what never ran
+    spec = {"pointpillars_train": {"sleep": 300}}
+    proc, lines = _run(25, spec, timeout=180)
     metrics = [ln["metric"] for ln in lines]
     assert proc.returncode == 0  # headline landed
     assert metrics[-1] == "centernet_r18dcn_train_img_per_sec_per_chip"
+    assert "decode_rotated_nms_p50_ms" in metrics
     marker = [ln for ln in lines if ln["metric"] == "bench_incomplete"]
-    assert marker and "decode_nms" in marker[0]["unit"]
+    assert marker and "pointpillars_train" in marker[0]["unit"]
+    assert "decode_nms" not in marker[0]["unit"]
+
+
+@pytest.mark.slow
+def test_headline_hang_still_lands_decode():
+    # the headline child hangs to its cap; the ~90 s tail reserve means the
+    # secondary chunk still runs and decode lands (exit 1: headline missing)
+    spec = {"centernet_train": {"sleep": 600}}
+    proc, lines = _run(90, spec, timeout=180)
+    metrics = [ln["metric"] for ln in lines]
+    assert proc.returncode == 1
+    assert "decode_rotated_nms_p50_ms" in metrics
+    marker = [ln for ln in lines if ln["metric"] == "bench_incomplete"]
+    assert marker and "centernet_train" in marker[0]["unit"]
 
 
 def test_failed_bench_does_not_stop_the_chunk():
@@ -73,8 +90,8 @@ def test_cached_init_roundtrip_and_invalidation(tmp_path, monkeypatch):
     import numpy as np
 
     monkeypatch.setattr(bench, "_REPO", str(tmp_path))
-    (tmp_path / "minddet_tpu").mkdir()
-    src = tmp_path / "minddet_tpu" / "m.py"
+    (tmp_path / "minddet_tpu" / "core").mkdir(parents=True)
+    src = tmp_path / "minddet_tpu" / "core" / "m.py"
     src.write_text("x = 1\n")
 
     calls = []
@@ -94,7 +111,13 @@ def test_cached_init_roundtrip_and_invalidation(tmp_path, monkeypatch):
     assert jax.tree_util.tree_structure(t1) == jax.tree_util.tree_structure(t2)
     np.testing.assert_array_equal(t1["variables"]["params"]["w"],
                                   t2["variables"]["params"]["w"])
-    # source change invalidates
+    # in-scope source change invalidates
     src.write_text("x = 2\n")
+    bench._cached_init("demo", make)
+    assert len(calls) == 2
+    # OUT-of-scope change does NOT (per-bench fingerprints, VERDICT r4 1b):
+    # the centernet scope excludes train/train.py and data/
+    (tmp_path / "minddet_tpu" / "data").mkdir()
+    (tmp_path / "minddet_tpu" / "data" / "x.py").write_text("y = 1\n")
     bench._cached_init("demo", make)
     assert len(calls) == 2
