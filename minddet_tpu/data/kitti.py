@@ -28,7 +28,7 @@ def parse_label_file(path: str) -> List[Dict[str, Any]]:
     with open(path) as f:
         for line in f:
             p = line.strip().split(" ")
-            if len(p) < 15 or p[0] == "DontCare" and len(p) < 15:
+            if len(p) < 15:  # DontCare rows have all 15 fields and are KEPT
                 continue
             objs.append(
                 {

@@ -42,61 +42,78 @@ def waymo_frame_to_example(points: np.ndarray, labels: Sequence[Dict]) -> Dict[s
     }
 
 
+# raw proto Label.Type -> 1-based index into WAYMO_CLASSES: the proto
+# enumerates {0 UNKNOWN, 1 VEHICLE, 2 PEDESTRIAN, 3 SIGN, 4 CYCLIST};
+# the detection task drops SIGN/UNKNOWN and compacts CYCLIST to 3
+# (reference waymo_decoder.py extract_objects does the same filtering)
+_TYPE_MAP = {1: 1, 2: 2, 4: 3}
+
+
+def decode_waymo_frame(frame, frame_utils, max_points: int) -> Dict[str, Any]:
+    """One parsed Frame proto -> a raw record dict.
+
+    ``frame_utils`` is the waymo toolkit module (or a test double with the
+    same ``parse_range_image_and_camera_projection`` /
+    ``convert_range_image_to_point_cloud`` API).
+    """
+    ri, cp, _ = frame_utils.parse_range_image_and_camera_projection(frame)
+    # keep_polar_features prepends (range, intensity, elongation) to xyz:
+    # reorder to the configs' 5-feature layout [x, y, z, intensity,
+    # elongation] (configs/centerpoint_pp_waymo.yaml num_features: 5,
+    # matching the reference decoder's points[..., 3:5])
+    pts, _ = frame_utils.convert_range_image_to_point_cloud(
+        frame, ri, cp, keep_polar_features=True)
+    raw = np.concatenate(pts, axis=0)[:max_points]
+    points = raw[:, [3, 4, 5, 1, 2]]
+    labels = [
+        {
+            "center": (lb.box.center_x, lb.box.center_y, lb.box.center_z),
+            "size": (lb.box.length, lb.box.width, lb.box.height),
+            "heading": lb.box.heading,
+            "type": _TYPE_MAP[lb.type],
+            "num_points": lb.num_lidar_points_in_box,
+        }
+        for lb in frame.laser_labels
+        if lb.type in _TYPE_MAP
+    ]
+    return waymo_frame_to_example(points, labels)
+
+
 def convert_waymo_tfrecords(
-    tfrecord_paths: Sequence[str], out_prefix: str, max_points: int = 180000
+    tfrecord_paths: Sequence[str],
+    out_prefix: str,
+    max_points: int = 180000,
+    _modules: Optional[Dict[str, Any]] = None,
 ) -> List[str]:
     """Offline conversion of Waymo Frame TFRecords -> ArrayRecord shards.
 
     Requires tensorflow + the waymo_open_dataset proto (only at conversion
     time). Raises a clear error if the proto package is unavailable.
+    ``_modules`` injects {'tf', 'dataset_pb2', 'frame_utils'} doubles so the
+    decode path is testable without the toolkit (tests/test_waymo.py).
     """
-    try:
-        import tensorflow as tf
-        from waymo_open_dataset import dataset_pb2
-    except ImportError as e:  # pragma: no cover - conversion-time only
-        raise ImportError(
-            "convert_waymo_tfrecords needs tensorflow + waymo_open_dataset "
-            "(conversion-time only); install them on the prep machine"
-        ) from e
+    if _modules is None:
+        try:  # pragma: no cover - conversion-time only
+            import tensorflow as tf
+            from waymo_open_dataset import dataset_pb2
+            from waymo_open_dataset.utils import frame_utils
+        except ImportError as e:
+            raise ImportError(
+                "convert_waymo_tfrecords needs tensorflow + "
+                "waymo_open_dataset (conversion-time only); install them on "
+                "the prep machine"
+            ) from e
+    else:
+        tf = _modules["tf"]
+        dataset_pb2 = _modules["dataset_pb2"]
+        frame_utils = _modules["frame_utils"]
 
-    # raw proto Label.Type -> 1-based index into WAYMO_CLASSES: the proto
-    # enumerates {0 UNKNOWN, 1 VEHICLE, 2 PEDESTRIAN, 3 SIGN, 4 CYCLIST};
-    # the detection task drops SIGN/UNKNOWN and compacts CYCLIST to 3
-    # (reference waymo_decoder.py extract_objects does the same filtering)
-    type_map = {1: 1, 2: 2, 4: 3}
-
-    def examples() -> Iterator[Dict[str, Any]]:  # pragma: no cover
+    def examples() -> Iterator[Dict[str, Any]]:
         for path in tfrecord_paths:
             for data in tf.data.TFRecordDataset(path, compression_type=""):
                 frame = dataset_pb2.Frame()
                 frame.ParseFromString(bytes(data.numpy()))
-                # points must be pre-extracted by the official frame_utils on
-                # the prep machine; here we read the top-lidar ri_return1 via
-                # the toolkit if present.
-                from waymo_open_dataset.utils import frame_utils
-
-                ri, cp, _ = frame_utils.parse_range_image_and_camera_projection(frame)
-                # keep_polar_features prepends (range, intensity, elongation)
-                # to xyz: reorder to the configs' 5-feature layout
-                # [x, y, z, intensity, elongation]
-                # (configs/centerpoint_pp_waymo.yaml num_features: 5, matching
-                # the reference decoder's points[..., 3:5])
-                pts, _ = frame_utils.convert_range_image_to_point_cloud(
-                    frame, ri, cp, keep_polar_features=True)
-                raw = np.concatenate(pts, axis=0)[:max_points]
-                points = raw[:, [3, 4, 5, 1, 2]]
-                labels = [
-                    {
-                        "center": (lb.box.center_x, lb.box.center_y, lb.box.center_z),
-                        "size": (lb.box.length, lb.box.width, lb.box.height),
-                        "heading": lb.box.heading,
-                        "type": type_map[lb.type],
-                        "num_points": lb.num_lidar_points_in_box,
-                    }
-                    for lb in frame.laser_labels
-                    if lb.type in type_map
-                ]
-                yield waymo_frame_to_example(points, labels)
+                yield decode_waymo_frame(frame, frame_utils, max_points)
 
     return write_records(out_prefix, examples())
 

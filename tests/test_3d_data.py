@@ -19,9 +19,13 @@ def test_parse_label(tmp_path):
     p.write_text(
         "Car 0.00 0 -1.57 614.24 181.78 727.31 284.77 1.57 1.73 4.15 1.00 1.75 13.22 -1.62\n"
         "DontCare -1 -1 -10 503.89 169.71 590.61 190.13 -1 -1 -1 -1000 -1000 -1000 -10\n"
+        "Truncated 0.00 0\n"  # short row: dropped
     )
     objs = parse_label_file(str(p))
+    # DontCare rows are KEPT (they mark don't-care regions for the AP
+    # matcher); only short rows drop
     assert len(objs) == 2
+    assert objs[1]["name"] == "DontCare"
     assert objs[0]["name"] == "Car"
     np.testing.assert_allclose(objs[0]["dimensions"], [4.15, 1.57, 1.73])  # l,h,w
     assert objs[0]["rotation_y"] == -1.62

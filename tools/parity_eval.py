@@ -13,9 +13,11 @@ and print the measured numbers NEXT TO the reference's published table
         --ckpt centerpoint.pt --records 'data/nusc/val-*.arrayrecord'
 
 Checkpoints: torch ``.pth``/``.pt`` state dicts (the lineage the converters'
-rename tables target, ``utils/convert.py``) or an ``.npz`` of
-``name -> array`` in the same naming (export MindSpore ckpts to that with
-``{p.name: p.asnumpy() for p in load_checkpoint(...)}`` on the prep machine).
+rename tables target, ``utils/convert.py``), an ``.npz`` of
+``name -> array`` in the same naming, or a native MindSpore ``.ckpt`` —
+parsed directly by the pure-python protobuf reader
+(``utils/ms_ckpt.py``; MS names normalize to the torch lineage, so the
+reference's published artifacts load with no prep-machine step).
 
 ``--ckpt`` may be omitted for a plumbing dry run (random init; expect
 near-zero metrics): that mode doubles as the synthetic-records smoke test in
@@ -35,6 +37,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _load_state_dict(path: str):
+    if path.endswith(".ckpt"):  # native MindSpore checkpoint, no prep step
+        from minddet_tpu.utils.ms_ckpt import load_ms_state_dict
+
+        return load_ms_state_dict(path)
     if path.endswith(".npz"):
         return dict(np.load(path, allow_pickle=False).items())
     import torch
