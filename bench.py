@@ -23,11 +23,18 @@ cached. That is why ``__graft_entry__.entry()`` returns the exact
 seeds both the local compile cache and the server-side compile for the
 headline bench ~1 h before the bench itself runs.
 
-Measured cost structure (2026-08-20, 1-core host): remote compile of the
-26 MB headline step ~21 s; per-process executable load + params upload
-through the tunnel is the dominant cost and scales with executable size
-(~8 s/MB today, 1-2.5 s/MB on a good day); timed steps are ~1 s. Executable
-SIZE is therefore what decides whether a bench lands in the driver budget.
+Measured cost structure (2026-08-20, 1-core host):
+  - host->device transfers: ~0.2-0.5 MB/s (!). The old 60 MB param upload
+    was ~200 s of the headline child; ``_device_init`` eliminates it
+    (first-sync measured 202 s -> 1.4 s).
+  - fresh REMOTE compile of the 25.7 MB headline step: ~21 s, and the
+    first call afterward is free (the server keeps the executable).
+  - LOCAL persistent-cache hit: compile ~1 s, but the first call uploads
+    the serialized executable to the server (~5 s/MB today, 1-10 s/MB
+    across rounds) — 25.7 MB -> ~126 s measured. Still the safe path:
+    bounded and deterministic, vs a server compile of unknown state.
+  - timed steps: ~1 s. Executable SIZE therefore still decides the
+    driver-budget fit of each bench.
 """
 
 from __future__ import annotations
@@ -580,7 +587,10 @@ def bench_centerpoint_train() -> dict:
                         rpn_scan_min_layers=int(
                             os.environ.get("CP_SCAN_MIN", "6")),
                         rpn_stacked_params=os.environ.get(
-                            "CP_STACKED", "0") == "1")
+                            "CP_STACKED", "0") == "1",
+                        # CP_SC65=0: lane-exact 64-ch canvas scatter A/B
+                        scatter_extra_channel=os.environ.get(
+                            "CP_SC65", "1") == "1")
     raw = next(synthetic_points_batches(
         BATCH, pcr, num_points=120000, max_gt=64, num_classes=10,
         num_features=5, box_dim=9))
@@ -590,7 +600,8 @@ def bench_centerpoint_train() -> dict:
         cpu_batch = {k: jnp.asarray(v) for k, v in raw.items()}
     variables = _device_init(
         ("centerpoint_s2d" if os.environ.get("CP_S2D") else "centerpoint")
-        + ("_stk" if model.rpn_stacked_params else ""),
+        + ("_stk" if model.rpn_stacked_params else "")
+        + ("" if model.scatter_extra_channel else "_sc64"),
         lambda: model.init({"params": jax.random.PRNGKey(0)}, cpu_batch,
                            method=model.loss_from_gt))
     dev = jax.devices()[0]
@@ -779,12 +790,15 @@ def bench_faster_rcnn_infer() -> dict:
 # starved real benches and is gone); fake-bench tests still override them.
 _HEADLINE = "centernet_train"
 _BENCHES = {
-    "centernet_train": (bench_centernet_train, 600, 260),
+    # warm estimates re-measured 2026-08-20 after _device_init (headline:
+    # 131 s fresh-remote-compile path, 213 s local-cache-hit path incl. a
+    # 60 s backend-init hiccup)
+    "centernet_train": (bench_centernet_train, 600, 215),
     "decode_nms": (bench_decode_nms_p50, 120, 35),
-    "pointpillars_train": (bench_pointpillars_train, 600, 250),
-    "centerpoint_train": (bench_centerpoint_train, 700, 260),
-    "yolov8s_infer": (bench_yolov8s_infer, 400, 150),
-    "faster_rcnn_infer": (bench_faster_rcnn_infer, 600, 200),
+    "pointpillars_train": (bench_pointpillars_train, 600, 160),
+    "centerpoint_train": (bench_centerpoint_train, 700, 200),
+    "yolov8s_infer": (bench_yolov8s_infer, 400, 120),
+    "faster_rcnn_infer": (bench_faster_rcnn_infer, 600, 160),
 }
 # the six metrics the driver run reports; two_stage (below) is an extra
 # --one lever, not part of the budgeted set

@@ -118,6 +118,11 @@ class CenterPoint(nn.Module):
     # grad unstack; checkpoint layout changes — see
     # second_rpn.stack_inner_variables)
     rpn_stacked_params: bool = False
+    # ride a throwaway 65th ones channel through the canvas scatter (the
+    # r3 KITTI-scale finding: a clean 64-channel .set scatter compiled ~5x
+    # slower). At 65 channels every canvas-sized op lane-pads 65 -> 128 and
+    # pays ~2x its true HBM bytes, so this stays re-measurable per config.
+    scatter_extra_channel: bool = True
     # overflow drop order of the in-step voxelizer: "sorted" keeps the
     # max_voxels lowest cell ids and makes the canvas scatter indices
     # ascending (one sort instead of two + sorted scatter/gather hints,
@@ -192,13 +197,15 @@ class CenterPoint(nn.Module):
         )
         h = self.reader.stream(sv.feats, sv.keep, sv.first, sv.last,
                                train=train, bound=self.max_points_per_voxel)
-        # 65-wide combined scatter: a clean 64-channel scatter compiles to a
-        # ~5x slower kernel layout at KITTI scale (round-3 trace,
-        # docs/STATUS.md) — ride a throwaway ones channel and slice it off,
+        # 65-wide combined scatter (scatter_extra_channel, see the field
+        # comment) vs lane-exact 64 — a measured per-config tradeoff,
         # exactly like PointPillars._canvas_from_points (where the 65th
         # channel doubles as occupancy)
-        ones = jnp.ones(h.shape[:2] + (1,), h.dtype)
-        rows = jnp.concatenate([h, ones], axis=-1)
+        if self.scatter_extra_channel:
+            ones = jnp.ones(h.shape[:2] + (1,), h.dtype)
+            rows = jnp.concatenate([h, ones], axis=-1)
+        else:
+            rows = h
         cells = self.grid_ny * self.grid_nx
         idx = sv.canvas_idx
         compact = (self.voxel_drop_order == "sorted"
@@ -261,9 +268,10 @@ class CenterPoint(nn.Module):
         # lane-strided 64-of-65 slice copy disappears (r4 trace: ~3 ms/step
         # of canvas layout copies at bs=8). Init still slices so the
         # parameter shapes stay canonical.
+        extra = self.scatter_extra_channel
         if self.rpn_space_to_depth:
             sub = flat.reshape(b, self.grid_ny // 2, self.grid_nx // 2, 4, -1)
-            if self.is_initializing():
+            if extra and self.is_initializing():
                 canvas = sub[..., :-1].reshape(
                     b, self.grid_ny // 2, self.grid_nx // 2, -1)
             else:
@@ -271,7 +279,7 @@ class CenterPoint(nn.Module):
                     b, self.grid_ny // 2, self.grid_nx // 2, -1)
         else:
             canvas = flat.reshape(b, self.grid_ny, self.grid_nx, -1)
-            if self.is_initializing():
+            if extra and self.is_initializing():
                 canvas = canvas[..., :-1]
         canvas = constrain(canvas, self.bev_shard_spec)
         return self.rpn(canvas, train=train)

@@ -143,6 +143,18 @@ class SepHead(nn.Module):
             y = (y - m) * jax.lax.rsqrt(v + jnp.asarray(_BN_EPS, v.dtype))
             y = y * scale.astype(self.dtype) + bias.astype(self.dtype)
         y = nn.relu(y)
+        return self._fused_out(y)
+
+    def _fused_out(self, y) -> Dict[str, jnp.ndarray]:
+        """Block-diagonal out conv over the fused (B, H, W, num_branches*c)
+        mid activation -> per-branch output dict."""
+        names = list(self.heads.keys())
+        c = self.head_conv
+        conv_kw = dict(window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+                       dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        def p(mod, key):
+            return mod.variables["params"][key]
 
         widths = [self.heads[n][0] for n in names]
         ktot = jnp.zeros((3, 3, len(names) * c, sum(widths)), self.dtype)
@@ -180,28 +192,97 @@ class CenterHead(nn.Module):
     fuse_branches: bool = True
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, train: bool = False) -> List[Dict[str, jnp.ndarray]]:
-        x = nn.Conv(
+    def setup(self):
+        self.shared_conv = nn.Conv(
             self.share_conv_channel, (3, 3), padding=1, use_bias=True,
-            dtype=self.dtype, name="shared_conv",
-        )(x)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, dtype=self.dtype,
-            name="shared_bn",
-        )(x)
-        x = nn.relu(x)
-        outs = []
+            dtype=self.dtype, name="shared_conv")
+        self.shared_bn = nn.BatchNorm(momentum=_BN_MOMENTUM,
+                                      dtype=self.dtype, name="shared_bn")
+        tasks = []
         for t, ncls in enumerate(self.task_num_classes):
             heads = dict(self.common_heads)
             heads["hm"] = (ncls, self.num_hm_conv)
-            outs.append(
-                SepHead(heads=heads, dtype=self.dtype,
-                        fuse_branches=self.fuse_branches, name=f"task{t}")(
-                    x, train=train
-                )
-            )
-        return outs
+            tasks.append(SepHead(heads=heads, dtype=self.dtype,
+                                 fuse_branches=self.fuse_branches,
+                                 name=f"task{t}"))
+        self.tasks = tasks
+
+    def __call__(self, x, train: bool = False) -> List[Dict[str, jnp.ndarray]]:
+        x = self.shared_conv(x)
+        x = self.shared_bn(x, use_running_average=not train)
+        x = nn.relu(x)
+        fusable = (
+            self.fuse_branches and not self.is_initializing()
+            and len(self.tasks) > 1
+            and all(nc == 2 for _, nc in self.tasks[0].heads.values())
+        )
+        if not fusable:
+            return [task(x, train=train) for task in self.tasks]
+        return self._fused_tasks(x, train)
+
+    def _fused_tasks(self, x, train: bool) -> List[Dict[str, jnp.ndarray]]:
+        """Cross-TASK trace-time fusion: the T SepHeads all read the same
+        shared feature map, so their first (mid) convs+BNs concatenate into
+        ONE 64 -> T*6*64 conv + one fused BN — the r5 trace billed the six
+        separate mid convs (and their dgrads/wgrads) at ~10 ms/step at
+        nuScenes bs=8. Parameters stay per-task/per-branch (checkpoint
+        layout unchanged); out convs remain per task (their block-diagonal
+        cross-task form would inflate FLOPs 6x for no lane-utilization win
+        at these widths)."""
+        T = len(self.tasks)
+        c = self.tasks[0].head_conv
+        names = list(self.tasks[0].heads.keys())
+        nb = len(names)
+        conv_kw = dict(window_strides=(1, 1), padding=[(1, 1), (1, 1)],
+                       dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+        def p(mod, key):
+            return mod.variables["params"][key]
+
+        k0 = jnp.concatenate(
+            [p(t.branch_convs[f"{n}:0"], "kernel")
+             for t in self.tasks for n in names], axis=-1
+        ).astype(self.dtype)
+        b0 = jnp.concatenate(
+            [p(t.branch_convs[f"{n}:0"], "bias")
+             for t in self.tasks for n in names]
+        ).astype(self.dtype)
+        y = jax.lax.conv_general_dilated(x.astype(self.dtype), k0,
+                                         **conv_kw) + b0
+        if self.tasks[0].use_bn:
+            bns = [t.branch_bns[f"{n}:0"] for t in self.tasks for n in names]
+            scale = jnp.concatenate([p(b, "scale") for b in bns])
+            bias = jnp.concatenate([p(b, "bias") for b in bns])
+            r_mean = jnp.concatenate(
+                [b.variables["batch_stats"]["mean"] for b in bns])
+            r_var = jnp.concatenate(
+                [b.variables["batch_stats"]["var"] for b in bns])
+            if train:
+                # flax BatchNorm numerics: f32 batch statistics, biased
+                # variance, normalization in ``dtype``
+                yf = y.astype(jnp.float32)
+                bm = jnp.mean(yf, axis=(0, 1, 2))
+                bv = jnp.mean(jnp.square(yf), axis=(0, 1, 2)) - jnp.square(bm)
+                new_mean = _BN_MOMENTUM * r_mean + (1 - _BN_MOMENTUM) * bm
+                new_var = _BN_MOMENTUM * r_var + (1 - _BN_MOMENTUM) * bv
+                for j, b in enumerate(bns):
+                    b.put_variable(
+                        "batch_stats", "mean",
+                        jax.lax.dynamic_slice(new_mean, (j * c,), (c,)))
+                    b.put_variable(
+                        "batch_stats", "var",
+                        jax.lax.dynamic_slice(new_var, (j * c,), (c,)))
+            else:
+                bm, bv = r_mean, r_var
+            m = bm.astype(self.dtype)
+            v = bv.astype(self.dtype)
+            y = (y - m) * jax.lax.rsqrt(v + jnp.asarray(_BN_EPS, v.dtype))
+            y = y * scale.astype(self.dtype) + bias.astype(self.dtype)
+        y = nn.relu(y)
+        return [
+            task._fused_out(y[..., t * nb * c:(t + 1) * nb * c])
+            for t, task in enumerate(self.tasks)
+        ]
 
     # -- loss ---------------------------------------------------------------
     def loss(

@@ -120,17 +120,28 @@ class PFNLayer(nn.Module):
         BN statistics cover exactly the kept points, the max covers the same
         set). ``bound`` (the voxelizer's per-pillar point cap) switches the
         segmented ops to distance-bounded shift levels."""
+        from minddet_tpu.ops.seg_pallas import seg_full_max_bounded
         from minddet_tpu.ops.voxelize import _seg_bcast_bounded, seg_running_max
 
         x = self._dense_bn_relu(x, keep, train)
-        m = seg_running_max(first, x, axis=1, bound=bound)
-        if self.last_layer:
-            return m
-        # non-last layers concat each pillar's FULL max back to every kept
-        # point: broadcast the last-kept-row value backward
         if bound is not None:
-            full = _seg_bcast_bounded(last, m, bound, axis=1)
+            if self.last_layer:
+                # consumers read only each segment's last kept row, where
+                # the running max already IS the full max — skip the
+                # broadcast-back pass entirely
+                return seg_running_max(first, x, axis=1, bound=bound)
+            # running-max + broadcast-back through one entry point
+            # (ops/seg_pallas.py). Default is the XLA shift-level form; the
+            # single-pass Pallas kernel is a measured negative on v5e
+            # (113 ms vs 12 ms standalone fwd — see its docstring) and
+            # stays opt-in.
+            full = seg_full_max_bounded(first, last, x, bound)
         else:
+            m = seg_running_max(first, x, axis=1, bound=bound)
+            if self.last_layer:
+                return m
+            # non-last layers concat each pillar's FULL max back to every
+            # kept point: broadcast the last-kept-row value backward
             ends = jnp.concatenate(
                 [first[:, 1:], jnp.ones_like(first[:, :1])], axis=1)
             # flags stay (B, N, 1): broadcasting to m's channel width

@@ -49,6 +49,7 @@ odd shapes) reuses the corner-gather fallback from `ops.bilinear`.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -58,13 +59,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 from minddet_tpu.ops.bilinear import bilinear_sample_2d as _xla_sample
 
-_TILE_P = 256  # samples per grid step
+# Samples per grid step (HAT_TILE_P env lever for A/B sweeps). The kernel's
+# per-sample cost is WINDOW*C MACs vs the ideal 4*C, so (TILE, WINDOW) set
+# the FLOP inflation directly: halving both halves total work IF tiles still
+# fit their windows (smaller tiles span fewer position rows).
+_TILE_P = int(os.environ.get("HAT_TILE_P", "256"))
 # Window texels per fast-path matmul. A 256-sample tile spans ~1-2 image rows
 # of positions plus the 3x3 tap spread, so 8 rows (at W=64) fit comfortably
 # for the offset magnitudes DCN actually learns; tiles that spill take the
 # exact full-sweep fallback. 512 measured 13.3 ms/step faster than 1024 on
-# the CenterNet bs16 train step (58.2 vs 71.5 ms).
-_MAX_WINDOW = 512
+# the CenterNet bs16 train step (58.2 vs 71.5 ms). HAT_MAX_WINDOW env lever.
+_MAX_WINDOW = int(os.environ.get("HAT_MAX_WINDOW", "512"))
 # Budget for the *backward* kernel's resident VMEM set — its worst case is
 # x + dx (same size) + a full f32 scratch image, i.e. h*w*c*(2*elt + 4)
 # bytes, ~4x the forward's x footprint. Gating on that (not on x alone)

@@ -34,6 +34,14 @@ def _build(model_name: str, batch_size: int = 4):
     from minddet_tpu.train.train import synthetic_points_batches
 
     if model_name == "centernet":
+        # the bench program itself (bs via CN_BS/--batch): donate off, params
+        # generated on device, compile-cache shared with bench/entry
+        import bench
+
+        os.environ["CN_BS"] = str(batch_size)
+        step_fn, state, batch, _ = bench.headline_setup()
+        return step_fn, state, batch
+    if model_name == "centernet_legacy":
         import numpy as np
 
         from minddet_tpu.models.detectors.centernet import CenterNet
@@ -70,6 +78,12 @@ def _build(model_name: str, batch_size: int = 4):
                                method=model.loss, mutable=["batch_stats"])
 
         return make_train_step(loss_apply, donate=True), state, batch
+    # 3D models mirror the bench programs EXACTLY (same flags/defaults) so
+    # the persistent compile cache the benches warm is hit here, and reuse
+    # bench's on-device param generation (the old CPU-init + full-state
+    # device_put path cost minutes of tunnel upload per capture).
+    import bench
+
     if model_name == "pointpillars":
         from minddet_tpu.models.detectors.pointpillars import PointPillars
 
@@ -78,18 +92,27 @@ def _build(model_name: str, batch_size: int = 4):
             num_classes=1, dtype=jnp.bfloat16,
             rpn_space_to_depth=os.environ.get("PP_S2D", "1") != "0",
             rpn_scan_inner=not os.environ.get("PP_UNROLL"),
-            rpn_scan_min_layers=int(os.environ.get("PP_SCAN_MIN", "2")))
+            rpn_scan_min_layers=int(os.environ.get("PP_SCAN_MIN", "6")),
+            rpn_stacked_params=os.environ.get("PP_STACKED", "0") == "1")
         raw = next(synthetic_points_batches(batch_size, pcr,
                                             num_points=18000, max_gt=24))
         raw.pop("step", None)
         method = model.loss_from_gt
         extra = model.anchor_set
+        spec_name = ("pointpillars" if os.environ.get("PP_S2D", "1") == "0"
+                     else "pointpillars_s2d")
+        tx = adamw(2e-4)
     elif model_name == "centerpoint":
         from minddet_tpu.models.detectors.centerpoint import CenterPoint
 
         pcr = (-51.2, -51.2, -5.0, 51.2, 51.2, 3.0)
         model = CenterPoint(dtype=jnp.bfloat16,
-                            rpn_space_to_depth=bool(os.environ.get("CP_S2D")))
+                            rpn_space_to_depth=bool(os.environ.get("CP_S2D")),
+                            rpn_scan_inner=not os.environ.get("CP_UNROLL"),
+                            rpn_scan_min_layers=int(
+                                os.environ.get("CP_SCAN_MIN", "6")),
+                            rpn_stacked_params=os.environ.get(
+                                "CP_STACKED", "0") == "1")
         raw = next(synthetic_points_batches(batch_size, pcr,
                                             num_points=120000,
                                             max_gt=64, num_classes=10,
@@ -97,6 +120,9 @@ def _build(model_name: str, batch_size: int = 4):
         raw.pop("step", None)
         method = model.loss_from_gt
         extra = None
+        spec_name = ("centerpoint_s2d" if os.environ.get("CP_S2D")
+                     else "centerpoint")
+        tx = adamw(1e-3, clip_global_norm=35.0)
     else:
         raise SystemExit(f"unknown model {model_name}")
 
@@ -104,13 +130,15 @@ def _build(model_name: str, batch_size: int = 4):
         batch = {k: jnp.asarray(v) for k, v in raw.items()}
         if extra is not None:
             batch.update(extra())
-        variables = model.init({"params": jax.random.PRNGKey(0)}, batch,
-                               method=method)
-        state = TrainState.create(variables["params"],
-                                  variables.get("batch_stats", {}),
-                                  adamw(2e-4))
+    # bench batch sizes differ from trace batch sizes only through the
+    # (batch-size-independent) parameter tree, so the spec cache is shared
+    variables = bench._device_init(
+        spec_name,
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, batch,
+                           method=method))
     dev = jax.devices()[0]
-    state = jax.device_put(state, dev)
+    state = jax.jit(lambda p, b: TrainState.create(p, b, tx))(
+        variables["params"], variables.get("batch_stats", {}))
     batch = jax.device_put(batch, dev)
 
     def loss_apply(vs, b, train=True):
