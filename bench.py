@@ -367,12 +367,16 @@ def headline_setup():
     from minddet_tpu.train.loop import TrainState, make_train_step
 
     _setup_cache()
-    # CN_BS: batch lever. r4 sweep: bs=32 measured 351.0 img/s (+4.5% over
-    # bs=16's 336.5) on an isolated child, but its larger executable pays
-    # more per-run tunnel load (squeezed faster_rcnn out of two full-budget
-    # rehearsals) and one rehearsal wobbled to 303 — the stable
-    # reference-comparable bs=16 stays the default.
-    BATCH, RES, NUM_CLASSES = int(os.environ.get("CN_BS", "16")), 512, 80
+    # CN_BS: batch lever. r5 chip sweep (2026-08-20): 336.4 / 350.3 /
+    # 361.5 / 420.0 img/s at bs 16/32/64/128; bs=256 OOMs (the DCN
+    # sampler's bf16[B,4096,1152] window temporaries, 3 live at 2.25G
+    # each). bs=128 is the default now that the r4 "bigger executable
+    # squeezes the zoo" objection is gone: the headline runs FIRST and
+    # ALONE, and __graft_entry__.entry() compiles this exact program in
+    # the driver's entry check, so the headline child's first call hits
+    # the server-resident executable (isolated-child total measured 155 s
+    # vs the 215 s estimate).
+    BATCH, RES, NUM_CLASSES = int(os.environ.get("CN_BS", "128")), 512, 80
     model = CenterNet(num_classes=NUM_CLASSES, depth=18, dcn=True,
                       dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
