@@ -485,12 +485,12 @@ def bench_pointpillars_train() -> dict:
     from minddet_tpu.train.loop import TrainState, make_train_step
     from minddet_tpu.train.train import synthetic_points_batches
 
-    # bs=8/chip default: the r4 batch sweep measured 91/136/142 samples/s
-    # at bs=4/8/16 (per-step fixed costs — param stacking, sort/scatter
-    # index plumbing — dominate at bs=4), so the throughput metric runs at
-    # the knee. The reference's 24-25 samples/s is bs=4/chip (BASELINE.md:
+    # bs=32/chip default after the r5 sweep: 191.7 / 199.3 / 212.7 / 209.3
+    # samples/s at bs 8/16/32/64 (2026-08-20 chip) — the bs=32 knee, same
+    # amortization story as the r4 bs=4->8 move (91/136/142 at 4/8/16
+    # then). The reference's 24-25 samples/s is bs=4/chip (BASELINE.md:
     # 15); the unit string carries our bs=4 number for like-for-like.
-    BATCH, STEPS = int(os.environ.get("PP_BS", "8")), 10
+    BATCH, STEPS = int(os.environ.get("PP_BS", "32")), 10
     pcr = (0.0, -39.68, -3.0, 69.12, 39.68, 1.0)
     # PP_S2D=1 flips the space-to-depth RPN layout for A/B measurement
     # (tests pin output equality; only speed/executable size differ):
