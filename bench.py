@@ -514,12 +514,19 @@ def bench_pointpillars_train() -> dict:
     with jax.default_device(jax.devices("cpu")[0]):
         cpu_batch = {k: jnp.asarray(v) for k, v in raw.items()}
         cpu_batch.update(model.anchor_set())
+        # init on a ONE-sample slice: param shapes are batch-independent,
+        # and the cold CPU init (the driver's first run has no spec cache)
+        # scales ~linearly with batch — bs=32 measured ~400 s vs ~60 s
+        # at bs=8 on this 1-core host
+        init_batch = {k: v[:1] if hasattr(v, "ndim") and v.ndim and
+                      v.shape[0] == BATCH else v
+                      for k, v in cpu_batch.items()}
     # params regenerate on device from the cached leaf spec (no upload)
     variables = _device_init(
         ("pointpillars" if os.environ.get("PP_S2D", "1") == "0"
          else "pointpillars_s2d")
         + ("_stk" if model.rpn_stacked_params else ""),
-        lambda: model.init({"params": jax.random.PRNGKey(0)}, cpu_batch,
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, init_batch,
                            method=model.loss_from_gt))
     dev = jax.devices()[0]
     tx = adamw(2e-4)
@@ -602,11 +609,16 @@ def bench_centerpoint_train() -> dict:
     _phase("data ready")
     with jax.default_device(jax.devices("cpu")[0]):
         cpu_batch = {k: jnp.asarray(v) for k, v in raw.items()}
+        # one-sample init slice (see pointpillars bench: cold CPU init
+        # scales with batch; param shapes don't)
+        init_batch = {k: v[:1] if hasattr(v, "ndim") and v.ndim and
+                      v.shape[0] == BATCH else v
+                      for k, v in cpu_batch.items()}
     variables = _device_init(
         ("centerpoint_s2d" if os.environ.get("CP_S2D") else "centerpoint")
         + ("_stk" if model.rpn_stacked_params else "")
         + ("" if model.scatter_extra_channel else "_sc64"),
-        lambda: model.init({"params": jax.random.PRNGKey(0)}, cpu_batch,
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, init_batch,
                            method=model.loss_from_gt))
     dev = jax.devices()[0]
     tx = adamw(1e-3, clip_global_norm=35.0)
@@ -837,9 +849,12 @@ def bench_two_stage() -> dict:
     raw.pop("step", None)
     with jax.default_device(jax.devices("cpu")[0]):
         cpu_batch = {k: jnp.asarray(v) for k, v in raw.items()}
+        init_batch = {k: v[:1] if hasattr(v, "ndim") and v.ndim and
+                      v.shape[0] == BATCH else v
+                      for k, v in cpu_batch.items()}
     variables = _device_init(
         "two_stage",
-        lambda: model.init({"params": jax.random.PRNGKey(0)}, cpu_batch,
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, init_batch,
                            method=model.loss_from_gt))
     dev = jax.devices()[0]
     tx = adamw(1e-3, clip_global_norm=35.0)
