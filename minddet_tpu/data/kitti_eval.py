@@ -71,10 +71,13 @@ def clean_gt(anno: Dict, current_class: str, difficulty: int):
     ignored = np.full(n, -1, np.int32)
     is_cls = names == current_class
     heights = anno["bbox"][:, 3] - anno["bbox"][:, 1]
+    # the GT height cut is INCLUSIVE in the official protocol
+    # (eval_utils.py:61: height <= MIN_HEIGHT -> ignore), unlike the strict
+    # detection cut in clean_dt — pinned by test_kitti_eval_oracle.py
     too_hard = (
         (np.asarray(anno["occluded"]) > max_occ)
         | (np.asarray(anno["truncated"]) > max_trunc)
-        | (heights < min_h)
+        | (heights <= min_h)
     )
     ignored[is_cls & too_hard] = 1
     ignored[is_cls & ~too_hard] = 0
@@ -215,7 +218,9 @@ def _image_statistics_batch(
             if ignored_gt[i] == 0:
                 fn += 1
             continue
-        ov_ok = overlaps[i] >= min_overlap
+        # STRICT >: official matching never accepts overlap == min_overlap
+        # (eval_utils.py:257,262) — pinned by test_kitti_eval_oracle.py
+        ov_ok = overlaps[i] > min_overlap
         base = score_ok & ~assigned & ov_ok[None, :]
         cand_v = base & valid_dt[None, :]
         cand_i = base & ign_dt[None, :]
@@ -257,6 +262,37 @@ def _image_statistics(
         np.asarray([threshold]), compute_aos,
     )
     return int(tp[0]), int(fp[0]), int(fn[0]), float(sim[0]), scores[0]
+
+
+def _threshold_phase_scores(
+    overlaps, gt, dt, ignored_gt, ignored_dt, min_overlap,
+) -> List[float]:
+    """Matched TP scores for the threshold-collection phase.
+
+    The official compute_fp=False matcher (eval_utils.py:257) picks the best
+    SCORE among candidates with overlap > min_overlap — not the best
+    overlap like the PR phase — and ignored (too-small) detections are
+    eligible candidates that neutralize their GT without collecting a
+    threshold (eval_utils.py:282-285). Pinned by test_kitti_eval_oracle.py
+    (fixture 3: higher score at lower overlap)."""
+    nd = len(dt["name"])
+    scores = np.asarray(dt["score"], np.float64).reshape(-1)
+    assigned = np.zeros(nd, bool)
+    not_excluded = np.asarray(ignored_dt) != -1
+    out: List[float] = []
+    for i in range(len(gt["name"])):
+        if ignored_gt[i] == -1 or nd == 0:
+            continue
+        cand = (~assigned) & not_excluded & (overlaps[i] > min_overlap)
+        if not cand.any():
+            continue
+        # strict > while scanning ascending j in the official loop means the
+        # FIRST index holding the max score wins — argmax ties the same way
+        j = int(np.argmax(np.where(cand, scores, -np.inf)))
+        assigned[j] = True
+        if ignored_gt[i] == 0 and ignored_dt[j] == 0:
+            out.append(float(scores[j]))
+    return out
 
 
 def _ap_thresholds(scores: np.ndarray, num_gt: int) -> np.ndarray:
@@ -306,10 +342,8 @@ def eval_class(
 
     all_scores = []
     for ov, gt, dt, ig, idt, dc in per_image:
-        _, _, _, _, ths = _image_statistics(
-            ov, gt, dt, ig, idt, dc, min_overlap, -np.inf, False
-        )
-        all_scores.extend(ths)
+        all_scores.extend(
+            _threshold_phase_scores(ov, gt, dt, ig, idt, min_overlap))
     thresholds = _ap_thresholds(np.asarray(all_scores), total_valid_gt)
 
     pr = np.zeros((len(thresholds), 4))  # tp, fp, fn, similarity

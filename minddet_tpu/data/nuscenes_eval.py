@@ -132,20 +132,27 @@ def accumulate_class(
     period = np.pi if cls in ORIENT_PERIOD_PI else 2 * np.pi
     n_gt = sum(len(np.asarray(g["boxes"]).reshape(-1, 9)) for g in gts)
     all_scores, all_tp = [], []
+    all_gidx: List[int] = []  # devkit global enumeration index (tie order)
     tp_conf: List[float] = []
+    tp_gidx: List[int] = []
     errs = {k: [] for k in TP_METRICS}
+    gbase = 0
     for g, d in zip(gts, dts):
         gb = np.asarray(g["boxes"], np.float64).reshape(-1, 9)
         db = np.asarray(d["boxes"], np.float64).reshape(-1, 9)
         ds = np.asarray(d["scores"], np.float64).reshape(-1)
         ga = np.asarray(g.get("attrs", np.full(len(gb), -1)), np.int64)
         da = np.asarray(d.get("attrs", np.full(len(db), -1)), np.int64)
-        order = np.argsort(-ds, kind="mergesort")
+        # devkit tie order: ``sorted((v, i) ...)[::-1]`` processes equal
+        # scores by DESCENDING index (algo.py accumulate) — pinned by
+        # test_nuscenes_eval_oracle.py fixture 3
+        order = np.lexsort((np.arange(len(ds)), ds))[::-1]
         taken = np.zeros(len(gb), bool)
         for di in order:
             if len(gb) == 0:
                 all_scores.append(ds[di])
                 all_tp.append(False)
+                all_gidx.append(gbase + di)
                 continue
             dist = np.linalg.norm(gb[:, :2] - db[di, :2], axis=1)
             dist = np.where(taken, np.inf, dist)
@@ -154,7 +161,9 @@ def accumulate_class(
                 taken[gi] = True
                 all_scores.append(ds[di])
                 all_tp.append(True)
+                all_gidx.append(gbase + di)
                 tp_conf.append(ds[di])
+                tp_gidx.append(gbase + di)
                 errs["ate"].append(dist[gi])
                 errs["ase"].append(1.0 - _aligned_iou_1d(gb[gi, 3:6], db[di, 3:6]))
                 errs["aoe"].append(_yaw_diff(gb[gi, 8], db[di, 8], period))
@@ -166,10 +175,14 @@ def accumulate_class(
             else:
                 all_scores.append(ds[di])
                 all_tp.append(False)
+                all_gidx.append(gbase + di)
+        gbase += len(ds)
     return {
         "scores": np.asarray(all_scores),
         "tp": np.asarray(all_tp, bool),
+        "gidx": np.asarray(all_gidx, np.int64),
         "tp_conf": np.asarray(tp_conf),
+        "tp_gidx": np.asarray(tp_gidx, np.int64),
         "n_gt": n_gt,
         "errors": {k: np.asarray(v) for k, v in errs.items()},
     }
@@ -189,7 +202,10 @@ def metric_data(acc: Dict) -> Dict[str, np.ndarray]:
     (devkit ``algo.accumulate`` postprocessing)."""
     if acc["n_gt"] == 0 or len(acc["scores"]) == 0 or len(acc["tp_conf"]) == 0:
         return _no_predictions_md()
-    order = np.argsort(-acc["scores"], kind="mergesort")
+    # devkit tie rule globally: descending (score, original enumeration
+    # index) — carried through accumulate_class as ``gidx`` so cross- and
+    # within-sample ties both order exactly like algo.py's one global sort
+    order = np.lexsort((acc["gidx"], acc["scores"]))[::-1]
     tp = acc["tp"][order]
     conf = acc["scores"][order]
     tps = np.cumsum(tp).astype(np.float64)
@@ -203,8 +219,8 @@ def metric_data(acc: Dict) -> Dict[str, np.ndarray]:
     }
     # TP-error curves: cumulative mean over TPs in score order, sampled at
     # the recall grid's confidences (devkit: np.interp over reversed conf)
-    tp_conf = acc["tp_conf"]  # already in score order within samples; sort:
-    tp_order = np.argsort(-tp_conf, kind="mergesort")
+    tp_conf = acc["tp_conf"]
+    tp_order = np.lexsort((acc["tp_gidx"], tp_conf))[::-1]
     tp_conf_sorted = tp_conf[tp_order]
     for k in TP_METRICS:
         e = acc["errors"][k][tp_order]
