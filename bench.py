@@ -210,20 +210,30 @@ def _device_init(name: str, make, dtype=None):
     path = os.path.join(d, f"bench_spec_{name}.json")
     fp = _scope_fingerprint(name)
     spec = None
-    try:
-        with open(path) as f:
-            blob = json.load(f)
+    # second candidate: the COMMITTED spec pack (bench_cache/). The driver's
+    # working tree is recreated at round transitions, wiping .jax_cache —
+    # the committed copies (a few KB each, fingerprint-guarded like any
+    # other spec) give its run warm init without a builder-session cache.
+    for cand, tag in ((path, "cache"),
+                      (os.path.join(_REPO, "bench_cache",
+                                    f"bench_spec_{name}.json"), "repo")):
+        try:
+            with open(cand) as f:
+                blob = json.load(f)
+        except OSError:
+            continue
+        except Exception as e:
+            _phase(f"init spec unreadable ({name}, {tag}): {e!r}")
+            continue
         if blob.get("fingerprint") == fp:
             spec = blob["leaves"]
-            _phase(f"init spec cache hit ({name})")
-        else:
-            _phase(f"cache_stale: bench_spec_{name} fingerprint mismatch — "
-                   "source changed since the last warm-up; rehearse before "
-                   "shipping")
-    except OSError:
+            _phase(f"init spec {tag} hit ({name})")
+            break
+        _phase(f"cache_stale: bench_spec_{name} ({tag}) fingerprint "
+               "mismatch — source changed since the last warm-up; "
+               "rehearse before shipping")
+    if spec is None:
         _phase(f"init spec cold ({name})")
-    except Exception as e:
-        _phase(f"init spec unreadable ({name}): {e!r}")
 
     if spec is None:
         import flax
