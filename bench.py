@@ -156,7 +156,11 @@ _FP_SCOPES = {
 
 
 def _fingerprint(paths) -> str:
-    """sha256 over the given repo-relative files/dirs (.py files only)."""
+    """sha256 over the given repo-relative files/dirs (.py files only).
+
+    Hashes REPO-RELATIVE paths, never absolute ones — the committed
+    bench_cache/ spec pack must stay valid when the driver's recreated
+    working tree (or any clone) lands at a different absolute path."""
     import hashlib
 
     h = hashlib.sha256()
@@ -170,7 +174,7 @@ def _fingerprint(paths) -> str:
                 files.extend(os.path.join(root, f) for f in sorted(names)
                              if f.endswith(".py"))
         for f in files:
-            h.update(f.encode())
+            h.update(os.path.relpath(f, _REPO).encode())
             with open(f, "rb") as fh:
                 h.update(fh.read())
     return h.hexdigest()
@@ -190,7 +194,8 @@ def _device_init(name: str, make, dtype=None):
     The tunnel moves ~2.4 s/MB (measured 2026-08-20), so shipping CenterNet's
     60 MB f32 init from host was ~140 s of the headline child — the dominant
     cost after the r4 executable-size work. Instead the CPU init runs ONCE
-    (same per-bench fingerprint discipline as ``_cached_init``) and only a
+    (keyed by the per-bench ``_FP_SCOPES`` source fingerprint, with a loud
+    ``cache_stale`` marker on mismatch) and only a
     per-leaf spec {path, shape, dtype, mean, std} is persisted (a few KB);
     every later run regenerates values in one tiny jitted program on the
     device: zeros/constant leaves exactly (BN stats, zero-inited offset
@@ -292,68 +297,10 @@ def _device_init(name: str, make, dtype=None):
     return variables
 
 
-def _cached_init(name: str, make):
-    """Persist a bench's init pytree (variables/targets) in .jax_cache.
-
-    model.init TRACES the whole loss program on the single host core
-    (~45-65 s per heavy bench, measured) — at driver time that's pure
-    repeated work, so the materialized pytree is msgpack-cached next to the
-    compile cache and reloaded in ~1-2 s. Keyed by a PER-BENCH source
-    fingerprint (``_FP_SCOPES``); a stale fingerprint falls back to a fresh
-    init, rewrites the file, and prints a loud ``cache_stale`` marker so a
-    rehearsal that rides stale caches is visible (VERDICT r4 item 1a).
-    """
-    import flax
-    import jax
-    import numpy as np
-
-    d = os.path.join(_REPO, ".jax_cache")
-    path = os.path.join(d, f"bench_init_{name}.msgpack")
-    fp = _scope_fingerprint(name)
-    try:
-        with open(path, "rb") as f:
-            blob = flax.serialization.msgpack_restore(f.read())
-        if blob.get("fingerprint") == fp:
-            _phase(f"init cache hit ({name})")
-            return blob["tree"]
-        _phase(f"cache_stale: bench_init_{name} fingerprint mismatch — "
-               "source changed since the last warm-up; rehearse before "
-               "shipping")
-    except OSError:
-        _phase(f"init cache cold ({name})")
-    except Exception as e:
-        _phase(f"init cache unreadable ({name}): {e!r}")
-    def _canon(t):
-        # msgpack rejects tuples; lists/dicts of arrays round-trip
-        if isinstance(t, tuple):
-            return [_canon(x) for x in t]
-        if isinstance(t, list):
-            return [_canon(x) for x in t]
-        if isinstance(t, dict):
-            return {k: _canon(v) for k, v in t.items()}
-        return np.asarray(t)
-
-    tree = make()
-    # round-trip even the fresh path so container types (tuple vs list,
-    # FrozenDict vs dict) are canonical either way — otherwise the cached
-    # and fresh runs would produce DIFFERENT input pytrees and miss each
-    # other's compiled-executable cache entries
-    blob = flax.serialization.msgpack_serialize(
-        {"fingerprint": fp, "tree": _canon(
-            flax.serialization.to_state_dict(tree))})
-    _ = jax
-    try:
-        os.makedirs(d, exist_ok=True)
-        with open(path, "wb") as f:
-            f.write(blob)
-    except Exception:
-        pass
-    return flax.serialization.msgpack_restore(blob)["tree"]
-
-
 def headline_setup():
-    """Build the EXACT headline program: CenterNet-R18-DCN bs=16 512x512
-    bf16 full train step + its (state, batch) on the device.
+    """Build the EXACT headline program: CenterNet-R18-DCN 512x512 bf16
+    (bs = CN_BS, default 128) full train step + its (state, batch) on the
+    device.
 
     Shared verbatim with ``__graft_entry__.entry()``: the driver's entry
     compile-check lowers/compiles this very program ~1 h before the bench
@@ -535,7 +482,10 @@ def bench_pointpillars_train() -> dict:
     variables = _device_init(
         ("pointpillars" if os.environ.get("PP_S2D", "1") == "0"
          else "pointpillars_s2d")
-        + ("_stk" if model.rpn_stacked_params else ""),
+        # stacked-params trees also depend on WHICH blocks scan, so the
+        # scan-min lever joins the key only then (default trees don't)
+        + (f"_stk{model.rpn_scan_min_layers}"
+           if model.rpn_stacked_params else ""),
         lambda: model.init({"params": jax.random.PRNGKey(0)}, init_batch,
                            method=model.loss_from_gt))
     dev = jax.devices()[0]
@@ -626,7 +576,8 @@ def bench_centerpoint_train() -> dict:
                       for k, v in cpu_batch.items()}
     variables = _device_init(
         ("centerpoint_s2d" if os.environ.get("CP_S2D") else "centerpoint")
-        + ("_stk" if model.rpn_stacked_params else "")
+        + (f"_stk{model.rpn_scan_min_layers}"
+           if model.rpn_stacked_params else "")
         + ("" if model.scatter_extra_channel else "_sc64"),
         lambda: model.init({"params": jax.random.PRNGKey(0)}, init_batch,
                            method=model.loss_from_gt))

@@ -308,6 +308,14 @@ def seg_full_max_bounded(first, last, x, bound: int,
         # (W, k) temporary lane-pads to (W, 128)); 1024 rows of f32 chains
         # measured inside the 16 MB limit at bound=20
         block_rows = 1024
+    # the halo pad must fit inside one block (the window is built from the
+    # block plus its two neighbors) — fail loudly, not with a Mosaic shape
+    # error deep in the kernel
+    pad = max(8, ((bound + 7) // 8) * 8)
+    if block_rows < pad:
+        raise ValueError(
+            f"block_rows={block_rows} must be >= the halo pad "
+            f"{pad} (= round_up(max(bound, 8), 8)) for bound={bound}")
     use_pallas = interpret or (
         implementation == "pallas"
         and jax.devices()[0].platform != "cpu")

@@ -81,8 +81,10 @@ def test_failed_bench_does_not_stop_the_chunk():
     assert metrics[-1] == "centernet_r18dcn_train_img_per_sec_per_chip"
 
 
-def test_cached_init_roundtrip_and_invalidation(tmp_path, monkeypatch):
+def test_device_init_spec_cache_repo_fallback_and_invalidation(
+        tmp_path, monkeypatch):
     import importlib.util
+    import shutil
 
     spec = importlib.util.spec_from_file_location("bench_mod", _BENCH)
     bench = importlib.util.module_from_spec(spec)
@@ -91,33 +93,47 @@ def test_cached_init_roundtrip_and_invalidation(tmp_path, monkeypatch):
 
     monkeypatch.setattr(bench, "_REPO", str(tmp_path))
     (tmp_path / "minddet_tpu" / "core").mkdir(parents=True)
-    src = tmp_path / "minddet_tpu" / "core" / "m.py"
-    src.write_text("x = 1\n")
+    src_py = tmp_path / "minddet_tpu" / "core" / "m.py"
+    src_py.write_text("x = 1\n")
 
     calls = []
 
     def make():
         calls.append(1)
-        # tuple on purpose: the canonicalization must return the SAME
-        # container types on fresh and cached paths
-        return {"variables": {"params": {"w": np.ones((2, 3), np.float32)}},
-                "targets": (np.zeros(4, np.float32),)}
+        return {"params": {"w": np.full((2, 3), 0.5, np.float32),
+                           "b": np.zeros(4, np.float32)}}
 
-    t1 = bench._cached_init("demo", make)
-    t2 = bench._cached_init("demo", make)
-    assert len(calls) == 1  # second call hit the cache
+    v1 = bench._device_init("demo", make)
+    v2 = bench._device_init("demo", make)
+    assert len(calls) == 1  # second call regenerated from the cached spec
     import jax
 
-    assert jax.tree_util.tree_structure(t1) == jax.tree_util.tree_structure(t2)
-    np.testing.assert_array_equal(t1["variables"]["params"]["w"],
-                                  t2["variables"]["params"]["w"])
-    # in-scope source change invalidates
-    src.write_text("x = 2\n")
-    bench._cached_init("demo", make)
+    assert (jax.tree_util.tree_structure(v1)
+            == jax.tree_util.tree_structure(v2))
+    # constant leaves regenerate EXACTLY
+    np.testing.assert_array_equal(np.asarray(v2["params"]["b"]),
+                                  np.zeros(4, np.float32))
+    assert np.asarray(v2["params"]["w"]).shape == (2, 3)
+
+    # the committed bench_cache/ pack: move the spec out of .jax_cache into
+    # a CLONE of the tree at a different absolute path — the repo-relative
+    # fingerprint must still match and the repo candidate must be read
+    clone = tmp_path / "clone"
+    (clone / "minddet_tpu" / "core").mkdir(parents=True)
+    (clone / "minddet_tpu" / "core" / "m.py").write_text("x = 1\n")
+    (clone / "bench_cache").mkdir()
+    shutil.move(str(tmp_path / ".jax_cache" / "bench_spec_demo.json"),
+                str(clone / "bench_cache" / "bench_spec_demo.json"))
+    monkeypatch.setattr(bench, "_REPO", str(clone))
+    bench._device_init("demo", make)
+    assert len(calls) == 1  # repo-pack hit despite the new absolute path
+
+    # in-scope source change invalidates (cold init runs again)
+    (clone / "minddet_tpu" / "core" / "m.py").write_text("x = 2\n")
+    bench._device_init("demo", make)
     assert len(calls) == 2
-    # OUT-of-scope change does NOT (per-bench fingerprints, VERDICT r4 1b):
-    # the centernet scope excludes train/train.py and data/
-    (tmp_path / "minddet_tpu" / "data").mkdir()
-    (tmp_path / "minddet_tpu" / "data" / "x.py").write_text("y = 1\n")
-    bench._cached_init("demo", make)
+    # OUT-of-scope change does NOT (per-bench fingerprints, VERDICT r4 1b)
+    (clone / "minddet_tpu" / "data").mkdir()
+    (clone / "minddet_tpu" / "data" / "x.py").write_text("y = 1\n")
+    bench._device_init("demo", make)
     assert len(calls) == 2

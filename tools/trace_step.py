@@ -25,7 +25,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _build(model_name: str, batch_size: int = 4):
+def _build(model_name: str, batch_size: int | None = None):
     import jax
     import jax.numpy as jnp
 
@@ -34,13 +34,19 @@ def _build(model_name: str, batch_size: int = 4):
     from minddet_tpu.train.train import synthetic_points_batches
 
     if model_name == "centernet":
-        # the bench program itself (bs via CN_BS/--batch): donate off, params
-        # generated on device, compile-cache shared with bench/entry
+        # the bench program itself (bs via CN_BS or an explicit --batch):
+        # donate off, params generated on device, compile-cache shared with
+        # bench/entry. --batch only overrides CN_BS when the caller passed
+        # it (argparse default None), so `CN_BS=128 trace_step --model
+        # centernet` traces the bench's own program.
         import bench
 
-        os.environ["CN_BS"] = str(batch_size)
+        if batch_size is not None:
+            os.environ["CN_BS"] = str(batch_size)
         step_fn, state, batch, _ = bench.headline_setup()
         return step_fn, state, batch
+    if batch_size is None:
+        batch_size = 4
     if model_name == "centernet_legacy":
         import numpy as np
 
@@ -100,7 +106,9 @@ def _build(model_name: str, batch_size: int = 4):
         method = model.loss_from_gt
         extra = model.anchor_set
         spec_name = ("pointpillars" if os.environ.get("PP_S2D", "1") == "0"
-                     else "pointpillars_s2d")
+                     else "pointpillars_s2d") + (
+            f"_stk{model.rpn_scan_min_layers}"
+            if model.rpn_stacked_params else "")  # mirror bench's spec key
         tx = adamw(2e-4)
     elif model_name == "centerpoint":
         from minddet_tpu.models.detectors.centerpoint import CenterPoint
@@ -121,7 +129,9 @@ def _build(model_name: str, batch_size: int = 4):
         method = model.loss_from_gt
         extra = None
         spec_name = ("centerpoint_s2d" if os.environ.get("CP_S2D")
-                     else "centerpoint")
+                     else "centerpoint") + (
+            f"_stk{model.rpn_scan_min_layers}"
+            if model.rpn_stacked_params else "")  # mirror bench's spec key
         tx = adamw(1e-3, clip_global_norm=35.0)
     else:
         raise SystemExit(f"unknown model {model_name}")
@@ -176,7 +186,9 @@ def hlo_stats(trace_dir: str, top: int = 30):
 def main(argv=None) -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="pointpillars")
-    p.add_argument("--batch", type=int, default=4)
+    p.add_argument("--batch", type=int, default=None,
+                   help="batch size; centernet defaults to the bench's "
+                        "CN_BS (128), other models to 4")
     p.add_argument("--steps", type=int, default=6)
     p.add_argument("--out", default=None)
     p.add_argument("--top", type=int, default=30)
