@@ -295,39 +295,57 @@ def _bwd_kernel(h, w, wrows, nwin, meta_ref, ys_ref, xs_ref, sc_ref, g_ref,
 # ---------------------------------------------------------------------------
 
 
+def _tap_groups(k_taps: int) -> list:
+    """Taps fused per MXU dot. Grouping G taps widens the per-window dot
+    from (WIN, TP) to (WIN, G*TP) — the r5 trace showed the per-tap
+    (512, 256)x(512, 128) dots run the fwd taps kernel ~4.6x off the MXU
+    ideal (3.1 ms vs 14.2 measured at stage-2), and the window x-slice +
+    factor machinery re-ran once per tap. All 9 taps at once blows the
+    ~16 MB VMEM budget in the backward (the (WIN, K*TP) f32
+    cross-correlation alone is 4.7 MB, x3 sibling temporaries), so taps
+    fuse in groups (HAT_TAP_GROUP, default 3) over ONE shared per-tile
+    union window (`_meta_taps`)."""
+    g = max(1, int(os.environ.get("HAT_TAP_GROUP", "3")))
+    return [list(range(s, min(s + g, k_taps))) for s in range(0, k_taps, g)]
+
+
 def _fwd_taps_kernel(h, w, wrows, nwin, k_taps, c, meta_ref, ys_ref, xs_ref,
                      sc_ref, x_ref, out_ref):
-    """meta (1, PT*K, 2) SMEM; ys/xs/sc (1, K, TP); x (1, HW, C);
-    out (1, TP, K*C)."""
+    """meta (1, PT, 2) SMEM (per-tile UNION window over all taps);
+    ys/xs/sc (1, K, TP); x (1, HW, C); out (1, TP, K*C)."""
     pt = pl.program_id(1)
     win = wrows * w
     e = _row_expander(w, wrows)
+    tp = out_ref.shape[1]
+    base = meta_ref[0, pt, 0]
+    fits = meta_ref[0, pt, 1]
 
-    for k in range(k_taps):
-        ys = ys_ref[0, k:k + 1, :]  # (1, TP)
-        xs = xs_ref[0, k:k + 1, :]
-        sc = sc_ref[0, k:k + 1, :].astype(jnp.float32)
-
-        def win_out(base_row, x_win, ys=ys, xs=xs, sc=sc):
-            hy, hx = _factors(ys, xs, base_row, w, wrows)
-            acc_t = _expand(e, hy, hx * sc, wrows)
+    for ks in _tap_groups(k_taps):
+        def win_out(base_row, x_win, ks=ks):
+            hy_l, hxs_l = [], []
+            for k in ks:
+                ys = ys_ref[0, k:k + 1, :]  # (1, TP)
+                xs = xs_ref[0, k:k + 1, :]
+                sc = sc_ref[0, k:k + 1, :].astype(jnp.float32)
+                hy, hx = _factors(ys, xs, base_row, w, wrows)
+                hy_l.append(hy)
+                hxs_l.append(hx * sc)
+            # lane-concat the group's factors -> ONE (WIN, G*TP) x (WIN, C)
+            # dot instead of G small ones
+            acc_t = _expand(e, jnp.concatenate(hy_l, axis=1),
+                            jnp.concatenate(hxs_l, axis=1), wrows)
             return jax.lax.dot_general(
                 acc_t.astype(jnp.bfloat16), x_win.astype(jnp.bfloat16),
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # (TP, C)
+            )  # (G*TP, C)
 
-        # ONE window loop per tap with a dynamic trip count: 1 iteration over
-        # the tile's own window when its samples fit (the overwhelmingly
-        # common case), nwin full-map iterations when they spill. Keeping a
-        # single `win_out` instantiation per tap matters: a statically
-        # unrolled per-tap sweep branch (9 taps x nwin bodies) bloated the
-        # kernel enough to cost ~2x in the backward (measured
-        # tools/microbench_hat_taps.py).
-        mrow = pt * k_taps + k
-        base = meta_ref[0, mrow, 0]
-        fits = meta_ref[0, mrow, 1]
-
+        # ONE window loop per group with a dynamic trip count: 1 iteration
+        # over the tile's union window when every tap's samples fit (the
+        # overwhelmingly common case), nwin full-map iterations when they
+        # spill. A single `win_out` instantiation per group matters: a
+        # statically unrolled sweep branch bloated the kernel enough to
+        # cost ~2x in the backward (measured tools/microbench_hat_taps.py).
         def body(j, acc, base=base, fits=fits, win_out=win_out):
             base_j = jnp.where(fits > 0, base, j * wrows)
             r0 = pl.multiple_of(base_j * w, 8 if w % 8 == 0 else 1)
@@ -336,60 +354,84 @@ def _fwd_taps_kernel(h, w, wrows, nwin, k_taps, c, meta_ref, ys_ref, xs_ref,
 
         acc = jax.lax.fori_loop(
             0, jnp.where(fits > 0, 1, nwin), body,
-            jnp.zeros((out_ref.shape[1], c), jnp.float32))
-        out_ref[0, :, k * c:(k + 1) * c] = acc.astype(out_ref.dtype)
+            jnp.zeros((len(ks) * tp, c), jnp.float32))
+        for i, k in enumerate(ks):
+            out_ref[0, :, k * c:(k + 1) * c] = (
+                acc[i * tp:(i + 1) * tp].astype(out_ref.dtype))
 
 
 def _bwd_taps_kernel(h, w, wrows, nwin, k_taps, c, meta_ref, ys_ref, xs_ref,
                      sc_ref, g_ref, x_ref, dx_ref, dys_ref, dxs_ref, dsc_ref,
                      dxacc_ref):
     """g (1, TP, K*C) — the dsamp layout the weight-matmul backward emits;
-    dys/dxs/dsc (1, K, TP) f32; dx flushed from an f32 scratch image per
-    batch element, as in the flat kernel."""
+    meta (1, PT, 2) per-tile union window; dys/dxs/dsc (1, K, TP) f32; dx
+    flushed from an f32 scratch image per batch element, as in the flat
+    kernel."""
     pt = pl.program_id(1)
     npt = pl.num_programs(1)
     win = wrows * w
     e = _row_expander(w, wrows)
     et = _row_grouper(w, wrows)
     gc = _col_grouper(w, wrows)
+    tp = g_ref.shape[1]
+    base = meta_ref[0, pt, 0]
+    fits = meta_ref[0, pt, 1]
 
     @pl.when(pt == 0)
     def _():
         dxacc_ref[:] = jnp.zeros_like(dxacc_ref)
 
-    for k in range(k_taps):
-        ys = ys_ref[0, k:k + 1, :]
-        xs = xs_ref[0, k:k + 1, :]
-        sc = sc_ref[0, k:k + 1, :].astype(jnp.float32)
-        g = g_ref[0, :, k * c:(k + 1) * c].astype(jnp.bfloat16)  # (TP, C)
-
-        def win_grads(base_row, x_win, ys=ys, xs=xs, sc=sc, g=g):
-            hy, hx, dhy, dhx = _factors(ys, xs, base_row, w, wrows, grad=True)
-            hxe = pltpu.repeat(hx, wrows, axis=0)
+    for ks in _tap_groups(k_taps):
+        # g re-layout (TP, G*C lane slices) -> (G*TP, C): G aligned block
+        # copies, so every per-tap dot below fuses into one per group
+        g_stack = jnp.concatenate(
+            [g_ref[0, :, k * c:(k + 1) * c] for k in ks], axis=0
+        ).astype(jnp.bfloat16)  # (G*TP, C)
+        def win_grads(base_row, x_win, ks=ks, g_stack=g_stack):
+            # sc folds into a SECOND (sc-laden) hx per tap BEFORE the lane
+            # concat: a direct concat of per-tap (1, TP) sc slices trips
+            # Mosaic ("result/input offset mismatch on non-concat
+            # dimension" — the slices carry sublane offset k), while the
+            # elementwise hx * sc broadcast relayouts transparently
+            hy_l, hx_l, hxs_l, dhy_l, dhx_l = [], [], [], [], []
+            for k in ks:
+                ys = ys_ref[0, k:k + 1, :]
+                xs = xs_ref[0, k:k + 1, :]
+                sc = sc_ref[0, k:k + 1, :].astype(jnp.float32)
+                hy, hx, dhy, dhx = _factors(ys, xs, base_row, w, wrows,
+                                            grad=True)
+                hy_l.append(hy)
+                hx_l.append(hx)
+                hxs_l.append(hx * sc)
+                dhy_l.append(dhy)
+                dhx_l.append(dhx)
+            hy = jnp.concatenate(hy_l, axis=1)    # (WROWS, G*TP)
+            hx = jnp.concatenate(hx_l, axis=1)    # (W, G*TP)
+            hxs = jnp.concatenate(hxs_l, axis=1)  # (W, G*TP), sc-laden
+            dhy = jnp.concatenate(dhy_l, axis=1)
+            dhx = jnp.concatenate(dhx_l, axis=1)
+            hxe = pltpu.repeat(hx, wrows, axis=0)  # (WIN, G*TP), sc-free
             hye = jnp.dot(e, hy.astype(jnp.bfloat16),
                           preferred_element_type=jnp.float32)
-            acc_t = (hye * hxe * sc).astype(jnp.bfloat16)
-            dxw = jnp.dot(acc_t, g, preferred_element_type=jnp.float32)
+            acc_t = (hye * pltpu.repeat(hxs, wrows, axis=0)).astype(
+                jnp.bfloat16)
+            dxw = jnp.dot(acc_t, g_stack, preferred_element_type=jnp.float32)
             m = jax.lax.dot_general(
-                x_win.astype(jnp.bfloat16), g,
+                x_win.astype(jnp.bfloat16), g_stack,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )
+            )  # (WIN, G*TP)
             s1 = jnp.dot(et, (m * hxe).astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
             s2 = jnp.dot(gc, (m * hye).astype(jnp.bfloat16),
                          preferred_element_type=jnp.float32)
-            d_ys = jnp.sum(s1 * dhy, axis=0, keepdims=True)
+            d_ys = jnp.sum(s1 * dhy, axis=0, keepdims=True)  # (1, G*TP)
             d_xs = jnp.sum(s2 * dhx, axis=0, keepdims=True)
             d_sc = jnp.sum(s1 * hy, axis=0, keepdims=True)
             return dxw, d_ys, d_xs, d_sc
 
-        # single win_grads instantiation per tap, dynamic trip count (see the
-        # forward kernel's note — the unrolled sweep cost ~2x in backward)
-        mrow = pt * k_taps + k
-        base = meta_ref[0, mrow, 0]
-        fits = meta_ref[0, mrow, 1]
-
+        # single win_grads instantiation per group, dynamic trip count (see
+        # the forward kernel's note — an unrolled sweep cost ~2x here)
         def body(j, carry, base=base, fits=fits, win_grads=win_grads):
             a_ys, a_xs, a_sc = carry
             base_j = jnp.where(fits > 0, base, j * wrows)
@@ -399,12 +441,16 @@ def _bwd_taps_kernel(h, w, wrows, nwin, k_taps, c, meta_ref, ys_ref, xs_ref,
             dxacc_ref[pl.ds(r0, win), :] += dxw
             return (a_ys + d_ys, a_xs + d_xs, a_sc + d_sc)
 
-        zero = jnp.zeros((1, dys_ref.shape[2]), jnp.float32)
+        zero = jnp.zeros((1, len(ks) * tp), jnp.float32)
         a_ys, a_xs, a_sc = jax.lax.fori_loop(
             0, jnp.where(fits > 0, 1, nwin), body, (zero, zero, zero))
-        dys_ref[0, k:k + 1, :] = a_ys * sc
-        dxs_ref[0, k:k + 1, :] = a_xs * sc
-        dsc_ref[0, k:k + 1, :] = a_sc
+        for i, k in enumerate(ks):
+            # the coordinate grads' trailing sc factor applies per tap at
+            # write time (elementwise; no cross-offset concat needed)
+            sc = sc_ref[0, k:k + 1, :].astype(jnp.float32)
+            dys_ref[0, k:k + 1, :] = a_ys[:, i * tp:(i + 1) * tp] * sc
+            dxs_ref[0, k:k + 1, :] = a_xs[:, i * tp:(i + 1) * tp] * sc
+            dsc_ref[0, k:k + 1, :] = a_sc[:, i * tp:(i + 1) * tp]
 
     @pl.when(pt == npt - 1)
     def _flush():
@@ -526,19 +572,24 @@ def _bwd_pallas(g, x, ys, xs, scale, plan, interpret=False):
 
 
 def _meta_taps(ys, pp, tp, h, wrows):
-    """(B, PT*K, 2) int32 [base_row, fits] per (position tile, tap)."""
+    """(B, PT, 2) int32 [base_row, fits]: the UNION window of all K taps
+    per position tile (tap-group fusion shares one window; per-tap windows
+    would force one x-slice load + one small dot per tap — the r5 finding).
+    The union spans ~2 extra rows vs a per-tap window (the 3x3 taps' +-1
+    row offsets), so marginal tiles spill to the sweep slightly earlier;
+    at bench shapes (TP=256 -> 4 position rows, wrows=8) it still fits."""
     b, k = ys.shape[0], ys.shape[1]
     tiles = ys.reshape(b, k, pp // tp, tp)
-    lo = jnp.clip(jnp.floor(jnp.min(tiles, axis=3)), 0, h - 1).astype(jnp.int32)
-    hi = jnp.clip(jnp.floor(jnp.max(tiles, axis=3)) + 1, 0, h - 1).astype(jnp.int32)
+    lo = jnp.clip(jnp.floor(jnp.min(tiles, axis=(1, 3))),
+                  0, h - 1).astype(jnp.int32)
+    hi = jnp.clip(jnp.floor(jnp.max(tiles, axis=(1, 3))) + 1,
+                  0, h - 1).astype(jnp.int32)
     base = jnp.minimum(lo, h - wrows)
     fits = (hi < base + wrows).astype(jnp.int32)
     if wrows >= h:
         base = jnp.zeros_like(base)
         fits = jnp.ones_like(fits)
-    # (B, K, PT) -> (B, PT, K) so the kernel indexes [pt * K + k]
-    return jnp.stack([base, fits], axis=-1).transpose(0, 2, 1, 3).reshape(
-        b, (pp // tp) * k, 2)
+    return jnp.stack([base, fits], axis=-1)
 
 
 def _prep_taps(ys, xs, scale, p):
@@ -565,7 +616,7 @@ def _fwd_taps_pallas(x, ys, xs, scale, plan, interpret=False):
         functools.partial(_fwd_taps_kernel, h, w, wrows, nwin, k, c),
         grid=(b, pp // tp),
         in_specs=[
-            pl.BlockSpec((1, (pp // tp) * k, 2), lambda bi, pi: (bi, 0, 0),
+            pl.BlockSpec((1, pp // tp, 2), lambda bi, pi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
             tap_t, tap_t, tap_t,
             pl.BlockSpec((1, hw, c), lambda bi, pi: (bi, 0, 0),
@@ -598,7 +649,7 @@ def _bwd_taps_pallas(g, x, ys, xs, scale, plan, interpret=False):
         functools.partial(_bwd_taps_kernel, h, w, wrows, nwin, k, c),
         grid=(b, pp // tp),
         in_specs=[
-            pl.BlockSpec((1, (pp // tp) * k, 2), lambda bi, pi: (bi, 0, 0),
+            pl.BlockSpec((1, pp // tp, 2), lambda bi, pi: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
             tap_t, tap_t, tap_t,
             pl.BlockSpec((1, tp, k * c), lambda bi, pi: (bi, pi, 0),
